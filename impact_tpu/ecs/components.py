@@ -1,0 +1,261 @@
+"""Core component schema, mirroring the reference's component names/fields.
+
+The reference's public API is its component set — scenes are authored by
+attaching components (ref: README.md:131-150). We preserve the schema (names
+and field meanings) so reference scenes transcribe 1:1, while storage is dense
+SoA arrays (impact_tpu.ecs.world).
+
+Sources for each group:
+- spatial:   impact_geometry/src/{reference_frame,model_transform}.rs
+- motion:    impact_physics/src/quantities.rs:78 (Motion)
+- rigid body setup: impact_physics/src/rigid_body/setup.rs:23-43,
+             rigid_body.rs:41-53 marker components
+- collision setup:  impact_physics/src/collision/setup.rs:26-64
+- forces:    impact_physics/src/force/*.rs setup components
+- driven motion: impact_physics/src/driven_motion/*.rs
+- scene:     impact_scene/src/{lib,graph}.rs (SceneEntityFlags, Parent)
+
+Angular velocity note: the reference stores axis+speed (quantities.rs:93); we
+store the equivalent ω = axis·speed 3-vector, which is the form every kernel
+consumes.
+"""
+
+from __future__ import annotations
+
+from .world import component
+
+# --- spatial ------------------------------------------------------------------
+
+
+@component
+class ReferenceFrame:
+    """Origin position + orientation in parent space (ref: reference_frame.rs:12)."""
+
+    position: ("f32", 3) = (0.0, 0.0, 0.0)
+    orientation: ("f32", 4) = (0.0, 0.0, 0.0, 1.0)  # quaternion (x, y, z, w)
+
+
+@component
+class ModelTransform:
+    """Model-to-entity similarity transform (ref: model_transform.rs:18)."""
+
+    offset: ("f32", 3) = (0.0, 0.0, 0.0)
+    scale: float = 1.0
+
+
+@component
+class Motion:
+    """Linear + angular velocity (ref: quantities.rs:78)."""
+
+    linear_velocity: ("f32", 3) = (0.0, 0.0, 0.0)
+    angular_velocity: ("f32", 3) = (0.0, 0.0, 0.0)  # ω vector (axis·speed)
+
+
+# --- scene ---------------------------------------------------------------------
+
+
+@component
+class SceneEntityFlags:
+    """Bit flags: 1=IS_DISABLED, 2=CASTS_NO_SHADOWS (ref: impact_scene/src/lib.rs)."""
+
+    flags: int = 0
+
+
+@component
+class Parent:
+    """Parent entity reference (ref: impact_scene ParentEntity)."""
+
+    entity_id: ("u64", ()) = 0
+
+
+# --- rigid bodies ---------------------------------------------------------------
+
+
+@component
+class HasDynamicRigidBody:
+    """Marker linking an entity to a dynamic rigid body slot
+    (ref: rigid_body.rs:41). body_index is assigned by setup."""
+
+    body_index: int = -1
+
+
+@component
+class HasKinematicRigidBody:
+    """Marker linking an entity to a kinematic rigid body slot
+    (ref: rigid_body.rs:53)."""
+
+    body_index: int = -1
+
+
+@component(setup=True)
+class DynamicRigidBodySubstance:
+    """Mass density of the body's substance; inertia computed from shape
+    (ref: rigid_body/setup.rs:23)."""
+
+    mass_density: float = 1.0
+
+
+@component(setup=True)
+class DynamicRigidBodyInertialProperties:
+    """Explicit mass / center of mass / inertia tensor (ref: rigid_body/setup.rs:34)."""
+
+    mass: float = 1.0
+    center_of_mass: ("f32", 3) = (0.0, 0.0, 0.0)
+    inertia_tensor: ("f32", (3, 3)) = (
+        (1.0, 0.0, 0.0),
+        (0.0, 1.0, 0.0),
+        (0.0, 0.0, 1.0),
+    )
+
+
+@component(setup=True)
+class KinematicRigidBodyMarker:
+    """Requests a kinematic (velocity-driven) rigid body."""
+
+    pass
+
+
+# --- collidables -----------------------------------------------------------------
+
+
+@component(setup=True)
+class SphericalCollidable:
+    """Sphere collidable (ref: collision/setup.rs:26). kind: 0=Dynamic 1=Static 2=Phantom."""
+
+    kind: int = 0
+    center: ("f32", 3) = (0.0, 0.0, 0.0)
+    radius: float = 1.0
+    restitution: float = 0.0
+    static_friction: float = 0.5
+    dynamic_friction: float = 0.3
+
+
+@component(setup=True)
+class PlanarCollidable:
+    """Half-space collidable (ref: collision/setup.rs:39)."""
+
+    kind: int = 1
+    normal: ("f32", 3) = (0.0, 1.0, 0.0)
+    displacement: float = 0.0
+    restitution: float = 0.0
+    static_friction: float = 0.5
+    dynamic_friction: float = 0.3
+
+
+@component(setup=True)
+class CapsularCollidable:
+    """Capsule collidable (ref: collision/setup.rs:52)."""
+
+    kind: int = 0
+    segment_start: ("f32", 3) = (0.0, -0.5, 0.0)
+    segment_end: ("f32", 3) = (0.0, 0.5, 0.0)
+    radius: float = 0.5
+    restitution: float = 0.0
+    static_friction: float = 0.5
+    dynamic_friction: float = 0.3
+
+
+# --- forces ------------------------------------------------------------------------
+
+
+@component(setup=True)
+class ConstantAcceleration:
+    """Uniform acceleration (gravity) (ref: force/constant_acceleration.rs:51)."""
+
+    acceleration: ("f32", 3) = (0.0, -9.81, 0.0)
+
+
+@component(setup=True)
+class LocalForce:
+    """Constant force applied at a body-fixed point (ref: force/local_force.rs:29)."""
+
+    force: ("f32", 3) = (0.0, 0.0, 0.0)
+    point: ("f32", 3) = (0.0, 0.0, 0.0)
+
+
+@component(setup=True)
+class DynamicDynamicSpringForceGenerator:
+    """Spring between two dynamic bodies (ref: force/spring_force.rs:46).
+    Attachment points are in each entity's body frame."""
+
+    entity_a: ("u64", ()) = 0
+    entity_b: ("u64", ()) = 0
+    attachment_a: ("f32", 3) = (0.0, 0.0, 0.0)
+    attachment_b: ("f32", 3) = (0.0, 0.0, 0.0)
+    stiffness: float = 1.0
+    damping: float = 0.0
+    rest_length: float = 0.0
+
+
+@component(setup=True)
+class DynamicGravity:
+    """Participates in N-body pairwise gravity (ref: force/dynamic_gravity.rs:18)."""
+
+    pass
+
+
+@component(setup=True)
+class DetailedDrag:
+    """Drag force/torque against the uniform medium
+    (ref: force/detailed_drag.rs:46). TPU build uses an analytic quadratic
+    drag model over the body's bounding sphere area by default."""
+
+    drag_coefficient: float = 1.0
+
+
+# --- driven motion ------------------------------------------------------------------
+
+
+@component(setup=True)
+class CircularTrajectory:
+    """Kinematic circular trajectory driver (ref: driven_motion/circular.rs)."""
+
+    center: ("f32", 3) = (0.0, 0.0, 0.0)
+    radius: float = 1.0
+    angular_speed: float = 1.0
+    axis: ("f32", 3) = (0.0, 1.0, 0.0)
+    phase: float = 0.0
+
+
+@component(setup=True)
+class ConstantAccelerationTrajectory:
+    """Kinematic trajectory with constant acceleration (ref: driven_motion/
+    constant_acceleration.rs)."""
+
+    initial_position: ("f32", 3) = (0.0, 0.0, 0.0)
+    initial_velocity: ("f32", 3) = (0.0, 0.0, 0.0)
+    acceleration: ("f32", 3) = (0.0, 0.0, 0.0)
+
+
+@component(setup=True)
+class ConstantRotation:
+    """Kinematic constant-rate rotation (ref: driven_motion/constant_rotation.rs)."""
+
+    initial_orientation: ("f32", 4) = (0.0, 0.0, 0.0, 1.0)
+    angular_velocity: ("f32", 3) = (0.0, 0.0, 0.0)
+
+
+@component(setup=True)
+class HarmonicOscillation:
+    """Kinematic harmonic oscillation along an axis (ref: driven_motion/
+    harmonic_oscillation.rs)."""
+
+    center: ("f32", 3) = (0.0, 0.0, 0.0)
+    direction: ("f32", 3) = (0.0, 1.0, 0.0)
+    amplitude: float = 1.0
+    period: float = 1.0
+    phase: float = 0.0
+
+
+@component(setup=True)
+class OrbitalTrajectory:
+    """Kinematic Keplerian orbit (ref: driven_motion/orbit.rs)."""
+
+    focal_position: ("f32", 3) = (0.0, 0.0, 0.0)
+    semi_major_axis: float = 1.0
+    eccentricity: float = 0.0
+    orbital_period: float = 1.0
+    # Orientation of the orbital plane (quaternion rotating the reference
+    # orbit plane, x toward periapsis, z = orbit normal).
+    orientation: ("f32", 4) = (0.0, 0.0, 0.0, 1.0)
+    phase: float = 0.0
