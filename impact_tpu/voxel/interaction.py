@@ -1,0 +1,288 @@
+"""Voxel deformation: absorption, split detection, region extraction, fracturing.
+
+Ref: impact_voxel/src/interaction/absorption.rs (SDF subtraction of absorber
+shapes, incremental inertia, split triggering), object/split_detection.rs
+(two-level connected-component labeling), object/extraction.rs (disconnected
+region extraction with property transfer), interaction/fracturing.rs (Voronoi
+fragmentation seeded around impacts).
+
+TPU redesign (SURVEY.md §7.3.2 — dynamic topology under static shapes):
+  * Absorption: one fused grid op — sdf ← max(sdf, −sdf_absorber) per the
+    reference's hard subtraction (generation/sdf.rs:79).
+  * Split detection: iterative 6-neighbor min-label propagation on the dense
+    grid (lax.while_loop to fixpoint) instead of per-chunk disjoint-set
+    forests; the grid is small enough that propagation wins on the VPU.
+  * Extraction: a disconnected component moves into a FREE pooled object slot
+    with masks — no allocation; the rigid-body pool gains a body the same way.
+  * Fracturing: the reference samples Voronoi seeds and builds Delaunay →
+    Voronoi polyhedra to clip fragments; on a dense grid the Voronoi cell of
+    each voxel is simply the argmin-distance seed, so fragmentation is one
+    vectorized assignment — no tessellation needed (same geometry, no serial
+    host structure).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..math import quaternion as quat
+from .object import VoxelObjectPool, occupancy
+
+# --- absorption ----------------------------------------------------------------
+
+
+class AbsorberPools(NamedTuple):
+    """Absorbing spheres/capsules in their parent entity's frame
+    (ref: absorption.rs VoxelAbsorbingSphere/Capsule components)."""
+
+    sph_body: jnp.ndarray  # i32[A] parent body slot
+    sph_offset: jnp.ndarray  # f32[A,3] center in parent frame
+    sph_radius: jnp.ndarray  # f32[A]
+    sph_rate: jnp.ndarray  # f32[A] absorption rate (units of sdf shift/step)
+    sph_mask: jnp.ndarray  # bool[A]
+
+
+def empty_absorber_pools(cap: int = 8) -> AbsorberPools:
+    return AbsorberPools(
+        sph_body=jnp.zeros(cap, jnp.int32),
+        sph_offset=jnp.zeros((cap, 3), jnp.float32),
+        sph_radius=jnp.ones(cap, jnp.float32),
+        sph_rate=jnp.ones(cap, jnp.float32),
+        sph_mask=jnp.zeros(cap, bool),
+    )
+
+
+def apply_absorption(
+    pool: VoxelObjectPool,
+    absorbers: AbsorberPools,
+    body_position,
+    body_orientation,
+) -> VoxelObjectPool:
+    """Subtract absorber SDFs from all objects (ref: absorption.rs:434).
+
+    sdf_obj ← max(sdf_obj, −sdf_absorber) evaluated at every voxel center in
+    world space — the reference's hard SDF subtraction over intersecting
+    chunks, here one fused pass over the pool.
+    """
+    from .object import voxel_positions_local
+
+    o = pool.n_objects
+    g = pool.grid_size
+    pos_local = voxel_positions_local(pool)  # [O,G,G,G,3]
+    q_b = body_orientation[pool.body_index]
+    x_b = body_position[pool.body_index]
+    pos_world = (
+        quat.rotate(q_b[:, None, None, None, :], pos_local) + x_b[:, None, None, None, :]
+    )
+
+    # absorber sphere world centers
+    c_w = body_position[absorbers.sph_body] + quat.rotate(
+        body_orientation[absorbers.sph_body], absorbers.sph_offset
+    )  # [A,3]
+
+    # min over absorbers of (distance − radius)
+    d = (
+        jnp.linalg.norm(
+            pos_world[:, :, :, :, None, :] - c_w[None, None, None, None, :, :],
+            axis=-1,
+        )
+        - absorbers.sph_radius[None, None, None, None, :]
+    )
+    d = jnp.where(absorbers.sph_mask[None, None, None, None, :], d, jnp.inf)
+    d_abs = jnp.min(d, axis=-1)  # [O,G,G,G]
+
+    new_sdf = jnp.maximum(pool.sdf, -d_abs)
+    changed = jnp.any(jnp.abs(new_sdf - pool.sdf) > 1e-7, axis=(1, 2, 3))
+    return pool._replace(
+        sdf=jnp.where(pool.alive[:, None, None, None], new_sdf, pool.sdf),
+        mesh_dirty=pool.mesh_dirty | (changed & pool.alive),
+    )
+
+
+# --- split detection ----------------------------------------------------------
+
+
+def connected_component_labels(occ, max_iters: int | None = None):
+    """Label occupied voxels of one [G,G,G] grid by min-label propagation.
+
+    Returns i32[G,G,G]: linear-index-based labels, −1 for empty voxels.
+    Converges when every component's minimum linear index has flooded it
+    (ref algorithm role: split_detection.rs two-level CCL).
+    """
+    g = occ.shape[0]
+    lin = jnp.arange(g * g * g, dtype=jnp.int32).reshape(g, g, g)
+    big = jnp.int32(g * g * g)
+    labels0 = jnp.where(occ, lin, big)
+    if max_iters is None:
+        max_iters = 3 * g
+
+    def propagate(labels):
+        m = labels
+        for axis in range(3):
+            fwd = jnp.concatenate(
+                [
+                    jnp.take(labels, jnp.arange(1, g), axis=axis),
+                    jnp.take(labels, jnp.arange(g - 1, g), axis=axis) * 0 + big,
+                ],
+                axis=axis,
+            )
+            bwd = jnp.concatenate(
+                [
+                    jnp.take(labels, jnp.arange(0, 1), axis=axis) * 0 + big,
+                    jnp.take(labels, jnp.arange(0, g - 1), axis=axis),
+                ],
+                axis=axis,
+            )
+            m = jnp.minimum(m, jnp.minimum(fwd, bwd))
+        return jnp.where(occ, m, big)
+
+    def cond(state):
+        labels, prev_changed, it = state
+        return prev_changed & (it < max_iters)
+
+    def body(state):
+        labels, _, it = state
+        new = propagate(labels)
+        return new, jnp.any(new != labels), it + 1
+
+    labels, _, _ = jax.lax.while_loop(
+        cond, body, (labels0, jnp.asarray(True), jnp.asarray(0))
+    )
+    return jnp.where(occ, labels, -1)
+
+
+def split_off_disconnected_region(pool: VoxelObjectPool, obj_index, free_slot):
+    """If object ``obj_index`` has >1 connected component, move the smallest
+    into ``free_slot`` (ref: extraction.rs:78 extract_any_disconnected_region /
+    :121 extract_smallest_region...). Jit-safe: no-ops when connected or when
+    free_slot < 0. Returns (pool, did_split: bool array)."""
+    occ = occupancy(pool)[obj_index]
+    labels = connected_component_labels(occ)
+    root = jnp.max(jnp.where(occ, labels, -1))  # any existing label
+    min_label = jnp.min(jnp.where(occ, labels, jnp.int32(1 << 30)))
+    # count voxels per label: smallest component = label with fewer voxels.
+    # With ≤2 components expected per event (reference splits one at a time),
+    # compare the min-label component vs the rest.
+    in_min = occ & (labels == min_label)
+    n_min = jnp.sum(in_min)
+    n_tot = jnp.sum(occ)
+    disconnected = (n_min > 0) & (n_min < n_tot)
+    can = disconnected & (free_slot >= 0) & ~pool.alive[jnp.maximum(free_slot, 0)]
+
+    move_min = n_min <= (n_tot - n_min)
+    region = jnp.where(move_min, in_min, occ & ~in_min)
+
+    src_sdf = pool.sdf[obj_index]
+    far = 2.0 * pool.voxel_extent[obj_index]
+    # source keeps complement; extracted region gets the values
+    new_src_sdf = jnp.where(region, far, src_sdf)
+    new_dst_sdf = jnp.where(region, src_sdf, far)
+
+    slot = jnp.maximum(free_slot, 0)
+    pool = pool._replace(
+        sdf=pool.sdf.at[obj_index].set(jnp.where(can, new_src_sdf, src_sdf)).at[
+            slot
+        ].set(jnp.where(can, new_dst_sdf, pool.sdf[slot])),
+        vtype=pool.vtype.at[slot].set(
+            jnp.where(can, pool.vtype[obj_index], pool.vtype[slot])
+        ),
+        voxel_extent=pool.voxel_extent.at[slot].set(
+            jnp.where(can, pool.voxel_extent[obj_index], pool.voxel_extent[slot])
+        ),
+        origin=pool.origin.at[slot].set(
+            jnp.where(can, pool.origin[obj_index], pool.origin[slot])
+        ),
+        alive=pool.alive.at[slot].set(jnp.where(can, True, pool.alive[slot])),
+        mesh_dirty=pool.mesh_dirty.at[obj_index]
+        .set(jnp.where(can, True, pool.mesh_dirty[obj_index]))
+        .at[slot]
+        .set(jnp.where(can, True, pool.mesh_dirty[slot])),
+    )
+    return pool, can
+
+
+# --- fracturing -----------------------------------------------------------------
+
+
+def fracture_object(
+    pool: VoxelObjectPool,
+    obj_index,
+    impact_point_local,
+    rng_key,
+    free_slots,
+    fracture_radius,
+    n_seeds: int,
+):
+    """Voronoi-fragment the region of ``obj_index`` within ``fracture_radius``
+    of the impact point (body frame). Fragment f>0 moves into free_slots[f-1];
+    fragment 0 stays in the source object.
+
+    Ref: fracturing.rs:338-935 — seeds sampled around the impact with jitter,
+    Voronoi cells extracted per seed. Here the Voronoi partition is computed
+    directly on the grid: each in-radius voxel joins the nearest seed.
+    ``free_slots`` i32[n_seeds-1]: pool slots for fragments (−1 = unavailable;
+    those fragments stay with the source).
+    """
+    from .object import voxel_positions_local
+
+    g = pool.grid_size
+    occ = occupancy(pool)[obj_index]
+    pos = voxel_positions_local(pool)[obj_index]  # [G,G,G,3] body frame
+
+    # seeds in a ball around the impact point (polar-ish jittered sampling,
+    # ref: fracturing.rs boundary grids + jitter; seeded RNG per §2.6)
+    k1, k2 = jax.random.split(rng_key)
+    dirs = jax.random.normal(k1, (n_seeds, 3))
+    dirs = dirs / jnp.maximum(jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-9)
+    radii = fracture_radius * jax.random.uniform(k2, (n_seeds,)) ** (1.0 / 3.0)
+    seeds = impact_point_local[None, :] + dirs * radii[:, None]  # [S,3]
+
+    d2 = jnp.sum(
+        (pos[:, :, :, None, :] - seeds[None, None, None, :, :]) ** 2, axis=-1
+    )  # [G,G,G,S]
+    assignment = jnp.argmin(d2, axis=-1)  # [G,G,G]
+
+    in_radius = (
+        jnp.linalg.norm(pos - impact_point_local[None, None, None, :], axis=-1)
+        <= fracture_radius
+    )
+    frag_region = occ & in_radius
+
+    src_sdf = pool.sdf[obj_index]
+    far = 2.0 * pool.voxel_extent[obj_index]
+
+    # fragment 0 stays with the source; the rest move out if a slot is free
+    new_src = src_sdf
+    sdf_all = pool.sdf
+    vt_all = pool.vtype
+    alive = pool.alive
+    dirty = pool.mesh_dirty
+    origin = pool.origin
+    extent = pool.voxel_extent
+
+    for f in range(1, n_seeds):
+        slot = free_slots[f - 1]
+        ok = (slot >= 0) & ~alive[jnp.maximum(slot, 0)]
+        region_f = frag_region & (assignment == f)
+        ok = ok & jnp.any(region_f)
+        s = jnp.maximum(slot, 0)
+        frag_sdf = jnp.where(region_f, src_sdf, far)
+        sdf_all = sdf_all.at[s].set(jnp.where(ok, frag_sdf, sdf_all[s]))
+        vt_all = vt_all.at[s].set(jnp.where(ok, pool.vtype[obj_index], vt_all[s]))
+        origin = origin.at[s].set(jnp.where(ok, pool.origin[obj_index], origin[s]))
+        extent = extent.at[s].set(
+            jnp.where(ok, pool.voxel_extent[obj_index], extent[s])
+        )
+        alive = alive.at[s].set(jnp.where(ok, True, alive[s]))
+        dirty = dirty.at[s].set(jnp.where(ok, True, dirty[s]))
+        new_src = jnp.where(ok & region_f, far, new_src)
+
+    sdf_all = sdf_all.at[obj_index].set(new_src)
+    dirty = dirty.at[obj_index].set(True)
+    return pool._replace(
+        sdf=sdf_all, vtype=vt_all, alive=alive, mesh_dirty=dirty,
+        origin=origin, voxel_extent=extent,
+    )

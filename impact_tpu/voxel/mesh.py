@@ -1,0 +1,190 @@
+"""Surface Nets meshing of voxel SDF grids.
+
+Ref: impact_voxel/src/object/sdf/surface_nets.rs — one vertex per
+surface-crossing cell placed at the centroid of the cell's edge
+zero-crossings, normals from the SDF gradient, quads emitted for each
+sign-changing lattice edge connecting the 4 cells around it.
+
+TPU redesign (SURVEY.md §7.3.3): instead of dynamic vertex/index Vecs with
+RangeAllocator bookkeeping, the mesh is FIXED-CAPACITY and slot-addressed:
+vertex slot = linear cell index (one potential vertex per cell), triangle
+slots = 2 per (lattice point, axis). Inactive slots are masked; masked
+triangles are degenerate and cost nothing downstream. No compaction, no
+atomics, no data-dependent shapes — the whole mesher is one fused XLA program
+over [G,G,G] arrays, vmapped over the object pool.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class SurfaceNetsMesh(NamedTuple):
+    """Dense slot-addressed mesh for one object (batch via leading axis).
+
+    C = (G-1)³ cells; T = 3·2·C triangle slots.
+    Vertex positions are in GRID units (voxel index space); callers scale by
+    voxel_extent and offset by origin to reach body-frame coordinates.
+    """
+
+    vert_active: jnp.ndarray  # bool[C]
+    vert_pos: jnp.ndarray  # f32[C,3] grid units
+    vert_normal: jnp.ndarray  # f32[C,3] unit outward normal
+    vert_type: jnp.ndarray  # i32[C] dominant material at vertex
+    tri_active: jnp.ndarray  # bool[T]
+    tri_indices: jnp.ndarray  # i32[T,3] cell-slot indices
+
+
+_CORNER_OFFSETS = [
+    (0, 0, 0), (1, 0, 0), (0, 1, 0), (1, 1, 0),
+    (0, 0, 1), (1, 0, 1), (0, 1, 1), (1, 1, 1),
+]
+
+_EDGES = [
+    (0, 1), (2, 3), (4, 5), (6, 7),  # x edges
+    (0, 2), (1, 3), (4, 6), (5, 7),  # y edges
+    (0, 4), (1, 5), (2, 6), (3, 7),  # z edges
+]
+
+
+def surface_nets(sdf, vtype):
+    """Mesh one [G,G,G] SDF grid (jit/vmap friendly).
+
+    Vertex at cell (i,j,k) uses corners sdf[i..i+1, j..j+1, k..k+1]; it is
+    positioned at the mean of the edge zero-crossings (surface_nets.rs:39-50).
+    """
+    g = sdf.shape[0]
+    gc = g - 1  # cells per axis
+
+    # [gc,gc,gc,8] corner distances
+    corners = jnp.stack(
+        [sdf[dx : dx + gc, dy : dy + gc, dz : dz + gc] for (dx, dy, dz) in _CORNER_OFFSETS],
+        axis=-1,
+    )
+    inside = corners < 0.0
+    n_inside = jnp.sum(inside, axis=-1)
+    cell_active = (n_inside > 0) & (n_inside < 8)
+
+    # edge crossings → vertex position (centroid of crossing points)
+    crossings_sum = jnp.zeros((gc, gc, gc, 3), jnp.float32)
+    crossings_cnt = jnp.zeros((gc, gc, gc), jnp.float32)
+    offsets = jnp.asarray(_CORNER_OFFSETS, jnp.float32)
+    for (a, b) in _EDGES:
+        da, db = corners[..., a], corners[..., b]
+        crossing = (da < 0.0) != (db < 0.0)
+        t = da / jnp.where(jnp.abs(da - db) < 1e-12, 1e-12, da - db)
+        t = jnp.clip(t, 0.0, 1.0)
+        point = offsets[a] + t[..., None] * (offsets[b] - offsets[a])
+        crossings_sum = crossings_sum + jnp.where(crossing[..., None], point, 0.0)
+        crossings_cnt = crossings_cnt + crossing
+    centroid = crossings_sum / jnp.maximum(crossings_cnt, 1.0)[..., None]
+    cell_ijk = jnp.stack(
+        jnp.meshgrid(*([jnp.arange(gc, dtype=jnp.float32)] * 3), indexing="ij"),
+        axis=-1,
+    )
+    # +0.5: voxel centers sit at (idx + 0.5) in grid units
+    vert_pos = cell_ijk + centroid + 0.5
+
+    # normals: average corner-difference gradient over the cell
+    gx = jnp.sum(corners * _corner_sign(0), axis=-1)
+    gy = jnp.sum(corners * _corner_sign(1), axis=-1)
+    gz = jnp.sum(corners * _corner_sign(2), axis=-1)
+    normal = jnp.stack([gx, gy, gz], axis=-1)
+    normal = normal / jnp.maximum(
+        jnp.linalg.norm(normal, axis=-1, keepdims=True), 1e-12
+    )
+
+    # dominant material: type of the deepest (most negative SDF) inside corner
+    corner_types = jnp.stack(
+        [vtype[dx : dx + gc, dy : dy + gc, dz : dz + gc] for (dx, dy, dz) in _CORNER_OFFSETS],
+        axis=-1,
+    )
+    masked_d = jnp.where(inside, corners, jnp.inf)
+    best = jnp.argmin(masked_d, axis=-1)
+    vert_type = jnp.take_along_axis(corner_types, best[..., None], axis=-1)[..., 0]
+
+    c = gc * gc * gc
+    cell_linear = (
+        jnp.arange(c, dtype=jnp.int32).reshape(gc, gc, gc)
+    )
+
+    # --- triangles: for each lattice point p in [1..g-1)³ and axis a, the edge
+    # p → p+e_a; if it crosses the surface, connect the 4 cells sharing it.
+    tris_idx = []
+    tris_act = []
+    for axis in range(3):
+        # lattice points p = (i,j,k) with i,j,k in [1, gc); edge to p+e_a
+        d0 = sdf[1:gc, 1:gc, 1:gc]
+        shifted = [slice(1, gc)] * 3
+        shifted[axis] = slice(2, gc + 1)
+        d1 = sdf[tuple(shifted)]
+        crossing = (d0 < 0.0) != (d1 < 0.0)
+        flip = d0 < 0.0  # winding depends on which side is solid
+
+        # the four cells sharing edge along `axis` at point p: offsets over the
+        # other two axes ∈ {-1, 0}. Cyclic order keeps the (u, v) pair
+        # right-handed about the edge axis so the winding analysis below holds
+        # for every axis.
+        others = [(axis + 1) % 3, (axis + 2) % 3]
+        offs = []
+        for u in (-1, 0):
+            for v in (-1, 0):
+                off = [0, 0, 0]
+                off[others[0]] = u
+                off[others[1]] = v
+                offs.append(off)
+
+        def cells_at(off):
+            sl = [slice(1 + off[a], gc + off[a]) for a in range(3)]
+            return cell_linear[tuple(sl)]
+
+        c00 = cells_at(offs[0])  # (-1,-1)
+        c01 = cells_at(offs[1])  # (-1, 0)
+        c10 = cells_at(offs[2])  # ( 0,-1)
+        c11 = cells_at(offs[3])  # ( 0, 0)
+
+        # two triangles per quad, wound consistently with the solid side
+        t1 = jnp.where(
+            flip[..., None],
+            jnp.stack([c00, c11, c01], axis=-1),
+            jnp.stack([c00, c01, c11], axis=-1),
+        )
+        t2 = jnp.where(
+            flip[..., None],
+            jnp.stack([c00, c10, c11], axis=-1),
+            jnp.stack([c00, c11, c10], axis=-1),
+        )
+        tris_idx.append(t1.reshape(-1, 3))
+        tris_idx.append(t2.reshape(-1, 3))
+        tris_act.append(crossing.reshape(-1))
+        tris_act.append(crossing.reshape(-1))
+
+    tri_indices = jnp.concatenate(tris_idx, axis=0)
+    tri_active = jnp.concatenate(tris_act, axis=0)
+
+    return SurfaceNetsMesh(
+        vert_active=cell_active.reshape(-1),
+        vert_pos=vert_pos.reshape(-1, 3),
+        vert_normal=normal.reshape(-1, 3),
+        vert_type=vert_type.reshape(-1),
+        tri_active=tri_active,
+        tri_indices=tri_indices,
+    )
+
+
+def _corner_sign(axis):
+    """[8] weights (+1 where corner offset along axis is 1, else −1) for the
+    corner-difference gradient."""
+    return jnp.asarray(
+        [1.0 if off[axis] else -1.0 for off in _CORNER_OFFSETS], jnp.float32
+    )
+
+
+surface_nets_batched = jax.vmap(surface_nets)
+
+
+def mesh_counts(mesh: SurfaceNetsMesh):
+    return jnp.sum(mesh.vert_active, axis=-1), jnp.sum(mesh.tri_active, axis=-1)

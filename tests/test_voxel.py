@@ -1,0 +1,256 @@
+"""Voxel subsystem tests — mirror impact_voxel unit/fuzz coverage
+(object/meshing/inertia/absorption/split/fracture)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from impact_tpu.voxel import (
+    empty_voxel_object_pool,
+    generate_sdf_grid,
+    surface_nets,
+)
+from impact_tpu.voxel import sdf as sdflib
+from impact_tpu.voxel import inertia as vinertia
+from impact_tpu.voxel.interaction import (
+    apply_absorption,
+    connected_component_labels,
+    empty_absorber_pools,
+    fracture_object,
+    split_off_disconnected_region,
+)
+from impact_tpu.voxel.object import chunk_codes, occupancy, nonempty_counts, surface_mask
+
+G = 32
+
+
+def make_sphere_pool(radius=6.0, extent=1.0, n_objects=4):
+    pool = empty_voxel_object_pool(n_objects, G)
+    s, origin = generate_sdf_grid(sdflib.sphere(radius), G, extent)
+    pool = pool._replace(
+        sdf=pool.sdf.at[0].set(s),
+        origin=pool.origin.at[0].set(origin),
+        voxel_extent=pool.voxel_extent.at[0].set(extent),
+        alive=pool.alive.at[0].set(True),
+    )
+    return pool
+
+
+class TestSdf:
+    def test_smooth_union_limits(self):
+        d1, d2 = jnp.asarray(1.0), jnp.asarray(3.0)
+        assert float(sdflib.sdf_union(d1, d2)) == 1.0
+        # smooth union never exceeds hard min and only blends near equality
+        assert float(sdflib.sdf_union(d1, d2, 0.5)) == 1.0
+        assert float(sdflib.sdf_union(d1, jnp.asarray(1.1), 0.5)) < 1.0
+
+    def test_subtraction_and_intersection(self):
+        a, b = jnp.asarray(-1.0), jnp.asarray(-0.5)
+        assert float(sdflib.sdf_subtraction(a, b)) == 0.5  # max(a, -b)
+        assert float(sdflib.sdf_intersection(a, b)) == -0.5
+
+    def test_graph_evaluate_sphere(self):
+        g = sdflib.sphere(2.0)
+        p = jnp.array([[0.0, 0.0, 0.0], [3.0, 0.0, 0.0]])
+        d = sdflib.evaluate(g, p)
+        np.testing.assert_allclose(d, [-2.0, 1.0], atol=1e-6)
+
+    def test_graph_transforms(self):
+        g = sdflib.translation(sdflib.sphere(1.0), (5.0, 0.0, 0.0))
+        assert float(sdflib.evaluate(g, jnp.array([5.0, 0.0, 0.0]))) == pytest.approx(-1.0)
+        g2 = sdflib.scaling(sdflib.sphere(1.0), 3.0)
+        assert float(sdflib.evaluate(g2, jnp.array([0.0, 0.0, 0.0]))) == pytest.approx(-3.0)
+
+    def test_union_of_translated_spheres(self):
+        g = sdflib.union(
+            sdflib.translation(sdflib.sphere(1.0), (-2.0, 0, 0)),
+            sdflib.translation(sdflib.sphere(1.0), (2.0, 0, 0)),
+        )
+        d = sdflib.evaluate(g, jnp.array([[-2.0, 0, 0], [2.0, 0, 0], [0.0, 0, 0]]))
+        np.testing.assert_allclose(d, [-1.0, -1.0, 1.0], atol=1e-6)
+
+    def test_noise_bounded_and_deterministic(self):
+        p = jax.random.uniform(jax.random.PRNGKey(0), (100, 3)) * 10
+        n1 = sdflib.multifractal_noise(p, octaves=3, seed=7)
+        n2 = sdflib.multifractal_noise(p, octaves=3, seed=7)
+        np.testing.assert_array_equal(n1, n2)
+        assert float(jnp.max(jnp.abs(n1))) <= 1.5
+        n3 = sdflib.multifractal_noise(p, octaves=3, seed=8)
+        assert not np.allclose(n1, n3)
+
+
+class TestVoxelObject:
+    def test_generated_sphere_occupancy(self):
+        pool = make_sphere_pool(radius=6.0)
+        count = int(nonempty_counts(pool)[0])
+        expected = 4.0 / 3.0 * np.pi * 6.0**3
+        assert abs(count - expected) / expected < 0.1
+        assert int(nonempty_counts(pool)[1]) == 0  # dead object empty
+
+    def test_chunk_codes(self):
+        pool = make_sphere_pool(radius=10.0)
+        codes = chunk_codes(pool)
+        assert codes.shape == (4, 2, 2, 2)
+        # a radius-10 sphere centered in a 32³ grid crosses every 16³ chunk
+        assert int(jnp.max(codes[0])) == 2  # NON_UNIFORM present
+
+    def test_surface_mask_is_shell(self):
+        pool = make_sphere_pool(radius=6.0)
+        occ = occupancy(pool)
+        surf = surface_mask(occ)
+        n_surf = int(jnp.sum(surf[0]))
+        n_occ = int(jnp.sum(occ[0]))
+        assert 0 < n_surf < n_occ
+        # shell ≈ 4πr² voxels
+        assert abs(n_surf - 4 * np.pi * 36) / (4 * np.pi * 36) < 0.5
+
+
+class TestSurfaceNets:
+    def test_sphere_mesh_statistics(self):
+        s, _ = generate_sdf_grid(sdflib.sphere(6.0), G, 1.0)
+        mesh = surface_nets(s, jnp.zeros((G, G, G), jnp.int32))
+        nv = int(jnp.sum(mesh.vert_active))
+        nt = int(jnp.sum(mesh.tri_active))
+        assert nv > 100 and nt > 100
+        # Euler characteristic of a sphere mesh: V - E + F = 2; quads → F = T/2…
+        # just sanity-check T ≈ 2V (closed quad mesh)
+        assert 1.5 < nt / nv < 2.5
+
+    def test_vertices_near_surface(self):
+        r = 6.0
+        s, origin = generate_sdf_grid(sdflib.sphere(r), G, 1.0)
+        mesh = surface_nets(s, jnp.zeros((G, G, G), jnp.int32))
+        pos = mesh.vert_pos + origin  # grid units == world units (extent 1)
+        dist = jnp.abs(jnp.linalg.norm(pos, axis=-1) - r)
+        max_err = float(jnp.max(jnp.where(mesh.vert_active, dist, 0.0)))
+        assert max_err < 0.9  # within one voxel of the true surface
+
+    def test_normals_point_outward(self):
+        s, origin = generate_sdf_grid(sdflib.sphere(6.0), G, 1.0)
+        mesh = surface_nets(s, jnp.zeros((G, G, G), jnp.int32))
+        pos = mesh.vert_pos + origin
+        radial = pos / jnp.maximum(jnp.linalg.norm(pos, axis=-1, keepdims=True), 1e-9)
+        dots = jnp.sum(radial * mesh.vert_normal, axis=-1)
+        active_dots = jnp.where(mesh.vert_active, dots, 1.0)
+        assert float(jnp.min(active_dots)) > 0.5
+
+    def test_triangles_reference_active_vertices(self):
+        s, _ = generate_sdf_grid(sdflib.sphere(6.0), G, 1.0)
+        mesh = surface_nets(s, jnp.zeros((G, G, G), jnp.int32))
+        tri_verts = mesh.vert_active[mesh.tri_indices]  # [T,3]
+        ok = jnp.all(tri_verts, axis=-1) | ~mesh.tri_active
+        assert bool(jnp.all(ok))
+
+    def test_winding_consistent(self):
+        # signed volume of the closed mesh should be ≈ +sphere volume
+        r = 6.0
+        s, origin = generate_sdf_grid(sdflib.sphere(r), G, 1.0)
+        mesh = surface_nets(s, jnp.zeros((G, G, G), jnp.int32))
+        v = mesh.vert_pos + origin
+        a = v[mesh.tri_indices[:, 0]]
+        b = v[mesh.tri_indices[:, 1]]
+        c = v[mesh.tri_indices[:, 2]]
+        vol6 = jnp.sum(jnp.where(mesh.tri_active, jnp.einsum("td,td->t", a, jnp.cross(b, c)), 0.0))
+        vol = float(vol6 / 6.0)
+        expected = 4.0 / 3.0 * np.pi * r**3
+        assert abs(vol - expected) / expected < 0.15, vol
+
+
+class TestVoxelInertia:
+    def test_sphere_inertia_matches_analytic(self):
+        pool = make_sphere_pool(radius=8.0)
+        dens = jnp.array([2.0])
+        mass, com, inertia = vinertia.inertial_properties(pool, dens)
+        r = 8.0
+        m_expected = 2.0 * 4 / 3 * np.pi * r**3
+        assert abs(float(mass[0]) - m_expected) / m_expected < 0.1
+        np.testing.assert_allclose(com[0], 0.0, atol=0.1)
+        i_expected = 0.4 * m_expected * r**2
+        np.testing.assert_allclose(jnp.diag(inertia[0]), i_expected, rtol=0.1)
+        # off-diagonals ≈ 0
+        assert abs(float(inertia[0, 0, 1])) < 0.01 * i_expected
+
+
+class TestDeformation:
+    def test_absorption_removes_voxels(self):
+        pool = make_sphere_pool(radius=6.0)
+        absorbers = empty_absorber_pools()
+        absorbers = absorbers._replace(
+            sph_body=absorbers.sph_body.at[0].set(1),  # body 1 at origin
+            sph_offset=absorbers.sph_offset.at[0].set(jnp.array([7.0, 0.0, 0.0])),
+            sph_radius=absorbers.sph_radius.at[0].set(3.0),
+            sph_mask=absorbers.sph_mask.at[0].set(True),
+        )
+        n_bodies = 4
+        pos = jnp.zeros((n_bodies, 3))
+        ori = jnp.tile(jnp.array([0.0, 0.0, 0.0, 1.0]), (n_bodies, 1))
+        before = int(nonempty_counts(pool)[0])
+        pool2 = apply_absorption(pool, absorbers, pos, ori)
+        after = int(nonempty_counts(pool2)[0])
+        assert after < before
+        assert bool(pool2.mesh_dirty[0])
+
+    def test_ccl_single_component(self):
+        pool = make_sphere_pool(radius=6.0)
+        occ = occupancy(pool)[0]
+        labels = connected_component_labels(occ)
+        uniq = np.unique(np.asarray(labels))
+        assert len(uniq[uniq >= 0]) == 1
+
+    def test_ccl_two_components(self):
+        g = sdflib.union(
+            sdflib.translation(sdflib.sphere(3.0), (-6.0, 0, 0)),
+            sdflib.translation(sdflib.sphere(3.0), (6.0, 0, 0)),
+        )
+        s, _ = generate_sdf_grid(g, G, 1.0)
+        occ = s < 0
+        labels = connected_component_labels(occ)
+        uniq = np.unique(np.asarray(labels))
+        assert len(uniq[uniq >= 0]) == 2
+
+    def test_split_off_disconnected(self):
+        g = sdflib.union(
+            sdflib.translation(sdflib.sphere(4.0), (-7.0, 0, 0)),
+            sdflib.translation(sdflib.sphere(3.0), (7.0, 0, 0)),
+        )
+        pool = empty_voxel_object_pool(4, G)
+        s, origin = generate_sdf_grid(g, G, 1.0)
+        pool = pool._replace(
+            sdf=pool.sdf.at[0].set(s),
+            origin=pool.origin.at[0].set(origin),
+            alive=pool.alive.at[0].set(True),
+        )
+        total = int(nonempty_counts(pool)[0])
+        pool2, did = split_off_disconnected_region(
+            pool, jnp.asarray(0), jnp.asarray(1)
+        )
+        assert bool(did)
+        counts = nonempty_counts(pool2)
+        assert int(counts[0]) + int(counts[1]) == total
+        assert 0 < int(counts[1]) < int(counts[0])  # smaller part moved out
+        assert bool(pool2.alive[1])
+
+    def test_split_noop_when_connected(self):
+        pool = make_sphere_pool(radius=6.0)
+        pool2, did = split_off_disconnected_region(pool, jnp.asarray(0), jnp.asarray(1))
+        assert not bool(did)
+        assert not bool(pool2.alive[1])
+
+    def test_fracture_conserves_voxels(self):
+        pool = make_sphere_pool(radius=8.0, n_objects=8)
+        total = int(nonempty_counts(pool)[0])
+        free = jnp.array([1, 2, 3], jnp.int32)
+        pool2 = fracture_object(
+            pool,
+            jnp.asarray(0),
+            jnp.array([8.0, 0.0, 0.0]),  # impact at +x surface
+            jax.random.PRNGKey(0),
+            free,
+            fracture_radius=5.0,
+            n_seeds=4,
+        )
+        counts = np.asarray(nonempty_counts(pool2))
+        assert counts[:4].sum() == total
+        assert (counts[1:4] > 0).sum() >= 1  # at least one fragment created
+        assert counts[0] > 0  # source retains the out-of-radius bulk
