@@ -1,0 +1,90 @@
+"""Rendering regression harness.
+
+Ref: apps/snapshot_tester — the reference runs the engine headless over a set
+of test scenes, captures a screenshot per scene, and compares against
+committed reference PNGs with a hybrid RGB score and a min-score threshold
+(src/testing.rs:20-60,157-201). Same flow here:
+
+    python apps/snapshot_tester.py            # compare against goldens
+    python apps/snapshot_tester.py --update   # (re)write goldens
+
+Runs on CPU for determinism across environments.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import pathlib
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+SNAPSHOT_DIR = pathlib.Path(__file__).parent / "snapshots" / "reference"
+MIN_SCORE_TO_PASS = 0.93
+
+# Scenes to snapshot: (name, n_warmup_steps)
+TEST_SCENES = [
+    ("Blank", 1),
+    ("BallPit", 30),
+    ("VoxelBoxTumbler", 30),
+    ("Asteroid", 5),
+    ("Fracturing", 10),
+]
+
+
+def build_runtime(scene_name: str):
+    from impact_tpu.models import SCENES
+    from impact_tpu.runtime import HeadlessRuntime, compile_scene
+    from impact_tpu.utils.config import EngineConfig
+
+    cfg = EngineConfig()
+    cfg.tpu.max_voxel_objects = 4
+    cfg.tpu.max_bodies = 24
+    cfg.tpu.max_contacts = 128
+    cfg.tpu.voxel_grid_size = 32
+    cfg.tpu.render_width = 160
+    cfg.tpu.render_height = 120
+    cfg.physics.simulator.initial_time_step_duration = 0.01
+    cfg.rendering.shadow_mapping.omnidirectional_light_shadow_map_resolution = 128
+    world = SCENES[scene_name]()
+    build = compile_scene(world, cfg)
+    return HeadlessRuntime(build, cfg)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--update", action="store_true", help="write goldens")
+    parser.add_argument("--scenes", nargs="*", default=None)
+    args = parser.parse_args(argv)
+
+    from impact_tpu.utils.image import load_png, rgb_hybrid_compare, save_png
+
+    SNAPSHOT_DIR.mkdir(parents=True, exist_ok=True)
+    failures = []
+    for name, warmup in TEST_SCENES:
+        if args.scenes and name not in args.scenes:
+            continue
+        rt = build_runtime(name)
+        rt.step(warmup)
+        img = rt.render()
+        golden = SNAPSHOT_DIR / f"{name}.png"
+        if args.update or not golden.exists():
+            save_png(golden, img)
+            print(f"[update] {name}: wrote {golden}")
+            continue
+        score = rgb_hybrid_compare(img, load_png(golden))
+        status = "PASS" if score >= MIN_SCORE_TO_PASS else "FAIL"
+        print(f"[{status}] {name}: score {score:.4f} (min {MIN_SCORE_TO_PASS})")
+        if status == "FAIL":
+            diff_path = SNAPSHOT_DIR.parent / f"{name}_failed.png"
+            save_png(diff_path, img)
+            failures.append(name)
+    if failures:
+        print(f"FAILED scenes: {failures}")
+        sys.exit(1)
+    print("all snapshot scenes passed")
+
+
+if __name__ == "__main__":
+    main()

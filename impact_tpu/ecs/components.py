@@ -259,3 +259,179 @@ class OrbitalTrajectory:
     # orbit plane, x toward periapsis, z = orbit normal).
     orientation: ("f32", 4) = (0.0, 0.0, 0.0, 1.0)
     phase: float = 0.0
+
+
+# --- camera (ref: impact_camera/src/setup.rs:13-26) ---------------------------
+
+
+@component(setup=True)
+class PerspectiveCamera:
+    """Perspective camera projection (ref: camera setup.rs:13)."""
+
+    vertical_field_of_view: float = 1.0471976  # 60°, radians
+    near_distance: float = 0.01
+    far_distance: float = 1000.0
+
+
+# --- lights (ref: impact_light/src/lib.rs:80-175) -----------------------------
+
+
+@component
+class AmbientEmission:
+    """Uniform ambient illuminance, lux (ref: lib.rs:80)."""
+
+    illuminance: ("f32", 3) = (0.0, 0.0, 0.0)
+
+
+@component
+class OmnidirectionalEmission:
+    """Point light, candela (ref: lib.rs:97)."""
+
+    luminous_intensity: ("f32", 3) = (0.0, 0.0, 0.0)
+    source_extent: float = 0.0
+
+
+@component
+class ShadowableOmnidirectionalEmission:
+    """Shadow-casting point light (ref: lib.rs:118)."""
+
+    luminous_intensity: ("f32", 3) = (0.0, 0.0, 0.0)
+    source_extent: float = 0.0
+
+
+@component
+class UnidirectionalEmission:
+    """Directional light, lux (ref: lib.rs:139)."""
+
+    perpendicular_illuminance: ("f32", 3) = (0.0, 0.0, 0.0)
+    direction: ("f32", 3) = (0.0, -1.0, 0.0)
+    angular_source_extent: float = 0.0
+
+
+@component
+class ShadowableUnidirectionalEmission:
+    """Shadow-casting directional light (ref: lib.rs:160)."""
+
+    perpendicular_illuminance: ("f32", 3) = (0.0, 0.0, 0.0)
+    direction: ("f32", 3) = (0.0, -1.0, 0.0)
+    angular_source_extent: float = 0.0
+
+
+# --- voxel objects (ref: impact_voxel/src/setup.rs:44-165) ---------------------
+
+
+@component(setup=True)
+class VoxelSphere:
+    """Spherical voxel object; radius in voxels (ref: setup.rs:114)."""
+
+    voxel_extent: float = 0.25
+    radius: float = 8.0
+
+
+@component(setup=True)
+class VoxelBox:
+    """Box voxel object; extents in voxels (ref: setup.rs:97)."""
+
+    voxel_extent: float = 0.25
+    extent_x: float = 8.0
+    extent_y: float = 8.0
+    extent_z: float = 8.0
+
+
+@component(setup=True)
+class VoxelCapsule:
+    """Capsular voxel object (ref: setup.rs:127)."""
+
+    voxel_extent: float = 0.25
+    segment_length: float = 8.0
+    radius: float = 4.0
+
+
+@component(setup=True)
+class VoxelSphereUnion:
+    """Smooth union of two spheres (ref: setup.rs:144)."""
+
+    voxel_extent: float = 0.25
+    radius_1: float = 6.0
+    radius_2: float = 6.0
+    center_offsets: ("f32", 3) = (6.0, 0.0, 0.0)
+    smoothness: float = 2.0
+
+
+@component(setup=True)
+class GeneratedVoxelObject:
+    """SDF-generator-built voxel object (ref: setup.rs:44). generator_id is
+    the FNV-32 hash of the registered generator name."""
+
+    generator_id: ("u32", ()) = 0
+    voxel_extent: float = 0.25
+    scale_factor: float = 1.0
+    seed: ("u64", ()) = 0
+
+
+@component(setup=True)
+class SameVoxelType:
+    """Single voxel type by registry index (the reference stores the FNV-32
+    name hash; we resolve names at setup time) (ref: setup.rs:57)."""
+
+    voxel_type: int = 0
+
+
+@component(setup=True)
+class GradientNoiseVoxelTypes:
+    """Noise-mixed voxel types (ref: setup.rs:67). Up to 4 types here."""
+
+    n_voxel_types: int = 1
+    voxel_types: ("i32", 4) = (0, 0, 0, 0)
+    noise_frequency: float = 0.15
+    voxel_type_frequency: float = 1.0
+    seed: ("u32", ()) = 0
+
+
+@component(setup=True)
+class MultifractalNoiseSDFModification:
+    """Noise modification of the generated SDF (ref: setup.rs:82)."""
+
+    octaves: int = 4
+    frequency: float = 0.15
+    lacunarity: float = 2.0
+    persistence: float = 0.5
+    amplitude: float = 2.0
+    seed: ("u32", ()) = 0
+
+
+@component(setup=True)
+class DynamicVoxels:
+    """Voxel object behaves as a dynamic rigid body (ref: setup.rs:165)."""
+
+    pass
+
+
+@component(setup=True)
+class VoxelCollidable:
+    """Voxel object participates in collision (ref: impact_voxel/src/setup.rs
+    VoxelCollidable setup component). kind: 0=Dynamic 1=Static."""
+
+    kind: int = 0
+    restitution: float = 0.0
+    static_friction: float = 0.5
+    dynamic_friction: float = 0.3
+
+
+@component
+class VoxelAbsorbingSphere:
+    """Sphere that absorbs voxels from dynamic voxel objects, in the entity's
+    frame (ref: interaction/absorption.rs VoxelAbsorbingSphere)."""
+
+    offset: ("f32", 3) = (0.0, 0.0, 0.0)
+    radius: float = 1.0
+    rate: float = 1.0
+
+
+@component
+class FracturingProperties:
+    """Enables impact fracturing for a voxel object
+    (ref: interaction/fracturing.rs:61-70 force threshold etc.)."""
+
+    impulse_threshold: float = 100.0
+    fracture_radius: float = 4.0

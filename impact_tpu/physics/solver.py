@@ -37,12 +37,19 @@ WARM_START_DIRECTION_THRESHOLD = 1e-2  # ref: contact.rs:318
 
 
 class SolverCache(NamedTuple):
-    """Cross-step persistent solver state (warm-start impulses)."""
+    """Cross-step persistent solver state (warm-start impulses). Also exposes
+    the last solve's contact bodies/positions so downstream systems (voxel
+    fracturing, ref: fracturing.rs:508 handle_fracturing_impacts reading
+    cached collision impulses) can react to impact strength."""
 
     key: jnp.ndarray  # u32[C] ascending; 0xFFFFFFFF = empty
     impulses: jnp.ndarray  # f32[C,3] accumulated (normal, tangent, bitangent)
     normal: jnp.ndarray  # f32[C,3]
     tangent: jnp.ndarray  # f32[C,3]
+    active: jnp.ndarray  # bool[C]
+    body_a: jnp.ndarray  # i32[C]
+    body_b: jnp.ndarray  # i32[C]
+    position: jnp.ndarray  # f32[C,3] contact point (world, at prepare time)
 
 
 def empty_solver_cache(max_contacts: int) -> SolverCache:
@@ -51,6 +58,10 @@ def empty_solver_cache(max_contacts: int) -> SolverCache:
         impulses=jnp.zeros((max_contacts, 3), jnp.float32),
         normal=jnp.zeros((max_contacts, 3), jnp.float32),
         tangent=jnp.zeros((max_contacts, 3), jnp.float32),
+        active=jnp.zeros(max_contacts, bool),
+        body_a=jnp.zeros(max_contacts, jnp.int32),
+        body_b=jnp.zeros(max_contacts, jnp.int32),
+        position=jnp.zeros((max_contacts, 3), jnp.float32),
     )
 
 
@@ -365,5 +376,10 @@ def solve_contacts(
         impulses=acc,
         normal=prep.normal,
         tangent=prep.tangent,
+        active=act,
+        body_a=ia,
+        body_b=ib,
+        # contact point (on B) at prepare time: COM_b + disp_b
+        position=bodies.position[ib] + prep.disp_b,
     )
     return bodies, cache

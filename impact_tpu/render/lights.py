@@ -1,0 +1,272 @@
+"""Light pools and deferred shading passes.
+
+Ref: impact_light/src/lib.rs:183-340 — 5 light types: AmbientLight,
+OmnidirectionalLight, ShadowableOmnidirectionalLight (cubemap shadows),
+UnidirectionalLight, ShadowableUnidirectionalLight (≤4-cascade CSM,
+MAX_SHADOW_MAP_CASCADES=4) — and impact_rendering's ambient/directional light
+passes (render_command.rs AmbientLightPass, DirectionalLightPass).
+
+TPU redesign: all lights of a kind live in masked pools; each shading pass is
+one fused op over the full G-buffer × light pool. Shadow maps are depth-only
+raster targets rendered with the same chunked rasterizer; cubemaps are 6 faces
+stacked on a leading axis, cascades likewise.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry.projection import perspective_projection_matrix, orthographic_projection_matrix
+from . import raster as rasterlib
+from .brdf import ambient_brdf, evaluate_brdf
+
+
+class LightPools(NamedTuple):
+    # ambient (ref: lib.rs:183): single accumulated illuminance
+    ambient_luminance: jnp.ndarray  # f32[3]
+    # omnidirectional (point) lights (ref: lib.rs:203-234)
+    omni_position: jnp.ndarray  # f32[L,3]
+    omni_intensity: jnp.ndarray  # f32[L,3] luminous intensity (lm/sr)
+    omni_extent: jnp.ndarray  # f32[L] source extent for soft shadows
+    omni_shadowable: jnp.ndarray  # bool[L]
+    omni_mask: jnp.ndarray  # bool[L]
+    # unidirectional (directional) lights (ref: lib.rs:265-340)
+    uni_direction: jnp.ndarray  # f32[D,3] direction light travels
+    uni_illuminance: jnp.ndarray  # f32[D,3] perpendicular illuminance (lux)
+    uni_extent: jnp.ndarray  # f32[D] angular extent for soft shadows
+    uni_shadowable: jnp.ndarray  # bool[D]
+    uni_mask: jnp.ndarray  # bool[D]
+
+
+def empty_light_pools(n_omni: int = 4, n_uni: int = 2) -> LightPools:
+    return LightPools(
+        ambient_luminance=jnp.zeros(3, jnp.float32),
+        omni_position=jnp.zeros((n_omni, 3), jnp.float32),
+        omni_intensity=jnp.zeros((n_omni, 3), jnp.float32),
+        omni_extent=jnp.zeros(n_omni, jnp.float32),
+        omni_shadowable=jnp.zeros(n_omni, bool),
+        omni_mask=jnp.zeros(n_omni, bool),
+        uni_direction=jnp.tile(jnp.array([[0.0, -1.0, 0.0]], jnp.float32), (n_uni, 1)),
+        uni_illuminance=jnp.zeros((n_uni, 3), jnp.float32),
+        uni_extent=jnp.zeros(n_uni, jnp.float32),
+        uni_shadowable=jnp.zeros(n_uni, bool),
+        uni_mask=jnp.zeros(n_uni, bool),
+    )
+
+
+# --- shadow maps ---------------------------------------------------------------
+
+CUBE_FACE_DIRS = jnp.array(
+    [
+        [1.0, 0.0, 0.0], [-1.0, 0.0, 0.0],
+        [0.0, 1.0, 0.0], [0.0, -1.0, 0.0],
+        [0.0, 0.0, 1.0], [0.0, 0.0, -1.0],
+    ],
+    jnp.float32,
+)
+CUBE_FACE_UPS = jnp.array(
+    [
+        [0.0, -1.0, 0.0], [0.0, -1.0, 0.0],
+        [0.0, 0.0, 1.0], [0.0, 0.0, -1.0],
+        [0.0, -1.0, 0.0], [0.0, -1.0, 0.0],
+    ],
+    jnp.float32,
+)
+
+
+def _look_view_matrix(eye, fwd, up):
+    """World→view matrix for a camera at eye looking along fwd."""
+    f = fwd / jnp.maximum(jnp.linalg.norm(fwd), 1e-9)
+    r = jnp.cross(f, up)
+    r = r / jnp.maximum(jnp.linalg.norm(r), 1e-9)
+    u = jnp.cross(r, f)
+    m = jnp.zeros((4, 4), jnp.float32)
+    m = m.at[0, :3].set(r).at[1, :3].set(u).at[2, :3].set(-f)
+    m = m.at[0, 3].set(-jnp.dot(r, eye))
+    m = m.at[1, 3].set(-jnp.dot(u, eye))
+    m = m.at[2, 3].set(jnp.dot(f, eye))
+    m = m.at[3, 3].set(1.0)
+    return m
+
+
+def render_omni_shadow_cubemap(
+    light_pos, world_pos_per_vertex, tri_indices, tri_active, resolution: int,
+    near=0.05, far=100.0,
+):
+    """6-face depth cubemap for one point light (ref: omni shadow map update
+    pass, 6 faces per light). Returns (depths [6,S,S], view_projs [6,4,4])."""
+
+    def face(i):
+        view = _look_view_matrix(light_pos, CUBE_FACE_DIRS[i], CUBE_FACE_UPS[i])
+        proj = perspective_projection_matrix(1.0, jnp.pi / 2, near, far)
+        vp = proj @ view
+        hp = jnp.concatenate(
+            [world_pos_per_vertex, jnp.ones_like(world_pos_per_vertex[..., :1])], -1
+        )
+        clip = jnp.einsum("ij,vj->vi", vp, hp)
+        tri_clip = clip[tri_indices]  # [T,3,4]
+        target, _, _ = rasterlib.rasterize(
+            tri_clip, tri_active, resolution, resolution, cull_backfaces=False
+        )
+        return target.depth, vp
+
+    depths, vps = jax.vmap(face)(jnp.arange(6))
+    return depths, vps
+
+
+def render_uni_shadow_map(
+    light_dir, scene_center, scene_radius,
+    world_pos_per_vertex, tri_indices, tri_active, resolution: int,
+):
+    """Orthographic shadow map for a directional light covering the scene
+    bounding sphere (single cascade; the cascade split logic of the
+    reference's CSM slots in above this). Returns (depth [S,S], vp [4,4])."""
+    eye = scene_center - light_dir * (2.0 * scene_radius)
+    up = jnp.where(
+        jnp.abs(light_dir[1]) < 0.95,
+        jnp.array([0.0, 1.0, 0.0]),
+        jnp.array([1.0, 0.0, 0.0]),
+    )
+    view = _look_view_matrix(eye, light_dir, up)
+    r = scene_radius
+    proj = orthographic_projection_matrix(-r, r, -r, r, 0.05, 4.0 * r)
+    vp = proj @ view
+    hp = jnp.concatenate(
+        [world_pos_per_vertex, jnp.ones_like(world_pos_per_vertex[..., :1])], -1
+    )
+    clip = jnp.einsum("ij,vj->vi", vp, hp)
+    tri_clip = clip[tri_indices]
+    target, _, _ = rasterlib.rasterize(
+        tri_clip, tri_active, resolution, resolution, cull_backfaces=False
+    )
+    return target.depth, vp
+
+
+def _sample_shadow_pcf(depth_map, uv, depth_ref, bias=2e-3):
+    """3×3 PCF lookup. uv in [0,1]², depth_ref the receiver's light-space
+    depth. Returns visibility in [0,1] (PCSS-style softening slot-in later)."""
+    s = depth_map.shape[0]
+    base = uv * s - 0.5
+    vis = 0.0
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            p = jnp.clip(jnp.floor(base).astype(jnp.int32) + jnp.array([dy, dx]), 0, s - 1)
+            d = depth_map[p[..., 1], p[..., 0]]
+            vis = vis + (depth_ref - bias <= d)
+    return vis / 9.0
+
+
+def omni_shadow_visibility(light_pos, shadow_depths, shadow_vps, world_pos):
+    """Visibility from a point-light cubemap at world positions [...,3]."""
+    v = world_pos - light_pos
+    av = jnp.abs(v)
+    # face selection by dominant axis
+    face = jnp.where(
+        (av[..., 0] >= av[..., 1]) & (av[..., 0] >= av[..., 2]),
+        jnp.where(v[..., 0] >= 0, 0, 1),
+        jnp.where(
+            av[..., 1] >= av[..., 2],
+            jnp.where(v[..., 1] >= 0, 2, 3),
+            jnp.where(v[..., 2] >= 0, 4, 5),
+        ),
+    )
+    vp = shadow_vps[face]  # [...,4,4]
+    hp = jnp.concatenate([world_pos, jnp.ones_like(world_pos[..., :1])], -1)
+    clip = jnp.einsum("...ij,...j->...i", vp, hp)
+    w = jnp.maximum(clip[..., 3], 1e-8)
+    ndc = clip[..., :3] / w[..., None]
+    uv = jnp.stack([ndc[..., 0] * 0.5 + 0.5, 0.5 - ndc[..., 1] * 0.5], -1)
+    depth_ref = ndc[..., 2]
+
+    # gather per-pixel from the selected face (vectorized gather)
+    s = shadow_depths.shape[-1]
+    base = uv * s - 0.5
+    vis = 0.0
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            p = jnp.clip(
+                jnp.floor(base).astype(jnp.int32) + jnp.array([dy, dx]), 0, s - 1
+            )
+            d = shadow_depths[face, p[..., 1], p[..., 0]]
+            vis = vis + (depth_ref - 2e-3 <= d)
+    return vis / 9.0
+
+
+def uni_shadow_visibility(shadow_depth, shadow_vp, world_pos):
+    hp = jnp.concatenate([world_pos, jnp.ones_like(world_pos[..., :1])], -1)
+    clip = jnp.einsum("ij,...j->...i", shadow_vp, hp)
+    ndc = clip[..., :3]  # ortho: w == 1
+    uv = jnp.stack([ndc[..., 0] * 0.5 + 0.5, 0.5 - ndc[..., 1] * 0.5], -1)
+    in_map = jnp.all((uv >= 0.0) & (uv <= 1.0), axis=-1)
+    vis = _sample_shadow_pcf(shadow_depth, uv, ndc[..., 2])
+    return jnp.where(in_map, vis, 1.0)
+
+
+# --- shading -------------------------------------------------------------------
+
+
+def shade(
+    lights: LightPools,
+    world_pos,  # f32[H,W,3]
+    normal,  # f32[H,W,3]
+    albedo,  # f32[H,W,3]
+    f0,  # f32[H,W,3]
+    roughness,  # f32[H,W]
+    emissive,  # f32[H,W,3]
+    occlusion,  # f32[H,W] ambient occlusion factor
+    camera_pos,  # f32[3]
+    valid,  # bool[H,W] geometry coverage
+    omni_shadows=None,  # optional (depths [L,6,S,S], vps [L,6,4,4])
+    uni_shadows=None,  # optional (depths [D,S,S], vps [D,4,4])
+):
+    """Deferred shading: ambient + omni + uni lights → HDR luminance [H,W,3]."""
+    view_dir = camera_pos - world_pos
+    view_dir = view_dir / jnp.maximum(
+        jnp.linalg.norm(view_dir, axis=-1, keepdims=True), 1e-9
+    )
+
+    lum = emissive + ambient_brdf(normal, view_dir, albedo, f0, roughness) * (
+        lights.ambient_luminance * occlusion[..., None]
+    )
+
+    # omni lights: inverse-square falloff (luminous intensity → illuminance)
+    n_omni = lights.omni_mask.shape[0]
+    for li in range(n_omni):
+        lvec = lights.omni_position[li] - world_pos
+        dist2 = jnp.sum(lvec * lvec, axis=-1)
+        ldir = lvec / jnp.maximum(jnp.sqrt(dist2), 1e-9)[..., None]
+        illum = lights.omni_intensity[li] / jnp.maximum(dist2, 1e-6)[..., None]
+        b = evaluate_brdf(normal, view_dir, ldir, albedo, f0, roughness)
+        contrib = b * illum
+        if omni_shadows is not None:
+            depths, vps = omni_shadows
+            vis = jnp.where(
+                lights.omni_shadowable[li],
+                omni_shadow_visibility(
+                    lights.omni_position[li], depths[li], vps[li], world_pos
+                ),
+                1.0,
+            )
+            contrib = contrib * vis[..., None]
+        lum = lum + jnp.where(lights.omni_mask[li], contrib, 0.0)
+
+    # uni lights
+    n_uni = lights.uni_mask.shape[0]
+    for li in range(n_uni):
+        ldir = -lights.uni_direction[li]
+        b = evaluate_brdf(normal, view_dir, ldir, albedo, f0, roughness)
+        vis = 1.0
+        if uni_shadows is not None:
+            depths, vps = uni_shadows
+            vis = jnp.where(
+                lights.uni_shadowable[li],
+                uni_shadow_visibility(depths[li], vps[li], world_pos),
+                1.0,
+            )
+            b = b * vis[..., None]
+        lum = lum + jnp.where(lights.uni_mask[li], b * lights.uni_illuminance[li], 0.0)
+
+    return jnp.where(valid[..., None], lum, 0.0)

@@ -40,6 +40,72 @@ def _edge(ax, ay, bx, by, px, py):
     return (bx - ax) * (py - ay) - (by - ay) * (px - ax)
 
 
+def clip_triangles_near(clip_pos, tri_active, eps: float = 1e-6):
+    """Clip triangles against the near plane (clip z = 0, wgpu convention).
+
+    Returns (clip2 [2T,3,4], bary2 [2T,3,3], active2 [2T]) where slot t holds
+    the first output triangle of input t and slot t+T the second (from the
+    quad case). ``bary2[j, i]`` are vertex i's barycentric weights w.r.t. the
+    ORIGINAL triangle j % T, so attribute interpolation can keep using the
+    original per-vertex data.
+    """
+    t = clip_pos.shape[0]
+    z = clip_pos[..., 2]  # [T,3]
+    inside = z > eps
+    count = jnp.sum(inside, axis=-1)  # [T]
+
+    eye3 = jnp.eye(3, dtype=clip_pos.dtype)
+
+    def rotated(k):
+        """Vertices and identity barys rotated so vertex k comes first."""
+        idx = (k[:, None] + jnp.arange(3)[None, :]) % 3  # [T,3]
+        v = jnp.take_along_axis(clip_pos, idx[..., None], axis=1)
+        b = eye3[idx]  # [T,3,3]
+        return v, b
+
+    def lerp(va, ba, vb, bb):
+        """Near-plane intersection on edge a→b (in clip + bary space)."""
+        za, zb = va[..., 2], vb[..., 2]
+        tt = za / jnp.where(jnp.abs(za - zb) < 1e-12, 1e-12, za - zb)
+        tt = jnp.clip(tt, 0.0, 1.0)[..., None]
+        return va + tt * (vb - va), ba + tt * (bb - ba)
+
+    # case count==1: single inside vertex first
+    k1 = jnp.argmax(inside, axis=-1)
+    v1, b1 = rotated(k1)
+    i_ab_v, i_ab_b = lerp(v1[:, 0], b1[:, 0], v1[:, 1], b1[:, 1])
+    i_ca_v, i_ca_b = lerp(v1[:, 0], b1[:, 0], v1[:, 2], b1[:, 2])
+    tri1_v = jnp.stack([v1[:, 0], i_ab_v, i_ca_v], axis=1)
+    tri1_b = jnp.stack([b1[:, 0], i_ab_b, i_ca_b], axis=1)
+
+    # case count==2: single outside vertex first (a outside, b,c inside)
+    k2 = jnp.argmax(~inside, axis=-1)
+    v2, b2 = rotated(k2)
+    j_ab_v, j_ab_b = lerp(v2[:, 1], b2[:, 1], v2[:, 0], b2[:, 0])  # enters at a→b edge
+    j_ca_v, j_ca_b = lerp(v2[:, 2], b2[:, 2], v2[:, 0], b2[:, 0])
+    quad_t1_v = jnp.stack([j_ab_v, v2[:, 1], v2[:, 2]], axis=1)
+    quad_t1_b = jnp.stack([j_ab_b, b2[:, 1], b2[:, 2]], axis=1)
+    quad_t2_v = jnp.stack([j_ab_v, v2[:, 2], j_ca_v], axis=1)
+    quad_t2_b = jnp.stack([j_ab_b, b2[:, 2], j_ca_b], axis=1)
+
+    full_b = jnp.broadcast_to(eye3[None], (t, 3, 3))
+
+    c1 = (count == 1)[:, None, None]
+    c2 = (count == 2)[:, None, None]
+    c3 = (count == 3)[:, None, None]
+    out1_v = jnp.where(c3, clip_pos, jnp.where(c2, quad_t1_v, tri1_v))
+    out1_b = jnp.where(c3, full_b, jnp.where(c2, quad_t1_b, tri1_b))
+    out1_act = tri_active & (count > 0)
+    out2_v = quad_t2_v
+    out2_b = quad_t2_b
+    out2_act = tri_active & (count == 2)
+
+    clip2 = jnp.concatenate([out1_v, out2_v], axis=0)
+    bary2 = jnp.concatenate([out1_b, out2_b], axis=0)
+    act2 = jnp.concatenate([out1_act, out2_act], axis=0)
+    return clip2, bary2, act2
+
+
 def rasterize(
     clip_pos,  # f32[T,3,4] clip-space vertex positions per triangle
     tri_active,  # bool[T]
@@ -47,14 +113,24 @@ def rasterize(
     width: int,
     chunk: int = 256,
     cull_backfaces: bool = True,
-) -> RasterTarget:
+):
     """Z-buffer rasterization of T triangle slots into an H×W target.
 
     clip positions follow wgpu conventions: x,y ∈ [−w,w] mapping to screen,
-    z ∈ [0,w] mapping to depth [0,1], y up. Triangles behind the near plane
-    (any w ≤ 0) are dropped (no clipping — scenes keep geometry in front of
-    the camera; near-plane clipping can be added by splitting).
+    z ∈ [0,w] mapping to depth [0,1], y up. Triangles are clipped against the
+    near plane first (2T clipped slots). Returns
+    (RasterTarget with tri_id indexing CLIPPED slots, clip2, bary2) —
+    feed clip2/bary2 to :func:`resolve_barycentrics`.
     """
+    clip2, bary2, act2 = clip_triangles_near(clip_pos, tri_active)
+    target = _rasterize_clipped(clip2, act2, height, width, chunk, cull_backfaces)
+    return target, clip2, bary2
+
+
+def _rasterize_clipped(
+    clip_pos, tri_active, height: int, width: int, chunk: int = 256,
+    cull_backfaces: bool = True,
+) -> RasterTarget:
     t = clip_pos.shape[0]
     n_chunks = -(-t // chunk)
     pad = n_chunks * chunk - t
@@ -86,7 +162,7 @@ def rasterize(
         )
         act = jax.lax.dynamic_slice(tri_active, (i * chunk,), (chunk,))
         sx, sy, z, valid = screen_coords(cp)  # [chunk,3]
-        act = act & jnp.all(valid, axis=-1) & jnp.all(z >= 0.0, axis=-1) & jnp.all(z <= 1.0, axis=-1)
+        act = act & jnp.all(valid, axis=-1)
 
         ax, ay, az = sx[:, 0], sy[:, 0], z[:, 0]
         bx, by, bz = sx[:, 1], sy[:, 1], z[:, 1]
@@ -113,6 +189,8 @@ def rasterize(
         zpix = (
             b0 * az[:, None, None] + b1 * bz[:, None, None] + b2 * cz[:, None, None]
         )
+        # pixel-level depth clip (far plane; near handled by triangle clipping)
+        covered = covered & (zpix >= 0.0) & (zpix <= 1.0)
         zpix = jnp.where(covered, zpix, jnp.inf)
 
         # per-chunk winner
@@ -132,14 +210,16 @@ def rasterize(
     return RasterTarget(depth=depth, tri_id=tri_id)
 
 
-def resolve_barycentrics(clip_pos, target: RasterTarget):
-    """Per-pixel perspective-correct barycentrics of the winning triangles.
+def resolve_barycentrics(clip2, bary2, target: RasterTarget, n_orig_tris: int):
+    """Per-pixel perspective-correct barycentrics w.r.t. ORIGINAL triangles.
 
-    Returns (bary [H,W,3] perspective-correct, tri [H,W] slot, valid [H,W]).
+    ``clip2``/``bary2`` come from :func:`rasterize` (clipped triangles carrying
+    original-barycentric corner weights). Returns (bary [H,W,3], tri [H,W]
+    original-slot ids, valid [H,W]).
     """
     h, w = target.depth.shape
     tri = jnp.maximum(target.tri_id, 0)
-    cp = clip_pos[tri]  # [H,W,3,4]
+    cp = clip2[tri]  # [H,W,3,4]
     wclip = cp[..., 3]
     inv_w = 1.0 / jnp.maximum(wclip, 1e-8)
     sx = (cp[..., 0] * inv_w * 0.5 + 0.5) * w
@@ -161,8 +241,11 @@ def resolve_barycentrics(clip_pos, target: RasterTarget):
     # perspective correction: weight by 1/w and renormalize
     pb = screen_bary * inv_w
     pb = pb / jnp.maximum(jnp.sum(pb, axis=-1, keepdims=True), 1e-12)
+    # map barycentrics of the clipped triangle back to the original triangle
+    orig_bary = jnp.einsum("hwi,hwij->hwj", pb, bary2[tri])
+    orig_tri = tri % n_orig_tris
     valid = target.tri_id >= 0
-    return pb, tri, valid
+    return orig_bary, orig_tri, valid
 
 
 def interpolate_attribute(attr_per_vertex, tri_indices, tri, bary, valid, fill=0.0):

@@ -1,0 +1,326 @@
+"""Engine orchestration: scene compilation + the jitted frame step.
+
+Ref: engine/src/engine.rs (Engine owning every subsystem), engine/src/tasks.rs
+(the 38-task frame DAG), engine/src/setup.rs:18-69 (setup-component pipeline).
+
+TPU redesign (SURVEY.md §7.0): the frame DAG collapses into one jitted
+``engine_step`` (physics + voxel deformation + remeshing) and one jitted
+``render_frame``. Host-side remains scene compilation (ECS world → device
+pools), screenshot IO, and metric logging.
+
+Static slot mapping: voxel object slot ``i`` always binds to rigid-body slot
+``voxel_body_offset + i`` — fragment creation activates a precomputed slot
+instead of allocating, which keeps split/fracture entirely on-device
+(§7.3.2 dynamic topology under static shapes).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ecs import World, components as C
+from ..math import quaternion as quat
+from ..physics import (
+    KIND_DYNAMIC,
+    KIND_KINEMATIC,
+    PhysicsParams,
+    PhysicsState,
+    init_physics_state,
+)
+from ..physics import inertia as analytic_inertia
+from ..physics.collision import empty_collidable_pools
+from ..physics.driven_motion import empty_motion_driver_pools
+from ..physics.forces import apply_forces_and_torques, empty_force_pools
+from ..physics.step import physics_step
+from ..render import Camera, LightPools, RenderConfig, empty_light_pools
+from ..render.pipeline import RenderState, init_render_state, render_frame
+from ..scene.assembly import (
+    StaticGeometry,
+    build_render_scene,
+    empty_static_geometry,
+    ground_plane_geometry,
+)
+from ..scene.materials import VoxelTypeRegistry, default_registry, material_params_for_types
+from ..utils.config import EngineConfig
+from ..voxel import sdf as sdflib
+from ..voxel.collision import extract_probes, merge_contact_buffers, voxel_contacts
+from ..voxel.inertia import inertial_properties
+from ..voxel.interaction import (
+    AbsorberPools,
+    apply_absorption,
+    empty_absorber_pools,
+    fracture_object,
+    split_off_disconnected_region,
+)
+from ..voxel.mesh import CompactMesh, compact_mesh_batched, surface_nets_batched
+from ..voxel.object import VoxelObjectPool, empty_voxel_object_pool, generate_sdf_grid
+
+
+class SimState(NamedTuple):
+    """Full device-resident simulation state."""
+
+    phys: PhysicsState
+    voxels: VoxelObjectPool
+    meshes: CompactMesh  # [O, ...] compacted surface meshes
+    render: RenderState
+    prev_position: jnp.ndarray  # f32[N,3] body poses at previous frame
+    prev_orientation: jnp.ndarray  # f32[N,4]
+    rng: jnp.ndarray  # PRNG key
+
+
+class EngineParams(NamedTuple):
+    """Scene-constant device parameters."""
+
+    phys_params: PhysicsParams
+    lights: LightPools
+    absorbers: AbsorberPools
+    type_density: jnp.ndarray  # f32[T]
+    voxel_response: jnp.ndarray  # f32[O,3] contact response per voxel object
+    fracturable: jnp.ndarray  # bool[O]
+    fracture_threshold: jnp.ndarray  # f32[O]
+    fracture_radius: jnp.ndarray  # f32[O]
+    camera: Camera
+    static_geometry: StaticGeometry
+
+
+def _sync_voxel_bodies(phys: PhysicsState, pool: VoxelObjectPool, type_density, sync_mask):
+    """Refresh body mass/inertia (and COM alignment) for masked voxel objects.
+
+    The body origin is kept at the object's COM: position shifts by R·Δcom and
+    the grid origin compensates (ref: object/inertia.rs property transfer)."""
+    mass, com, inertia = inertial_properties(pool, type_density)
+    bodies = phys.bodies
+    bidx = pool.body_index
+    sm = sync_mask & pool.alive & (mass > 1e-9)
+
+    r_q = bodies.orientation[bidx]
+    shift_world = quat.rotate(r_q, com)
+    new_pos = bodies.position[bidx] + shift_world
+    new_origin = pool.origin - com
+
+    inv_inertia = jnp.linalg.inv(
+        inertia + jnp.eye(3) * 1e-12
+    )
+    kind = jnp.where(sm, KIND_DYNAMIC, bodies.kind[bidx])
+    bodies = bodies._replace(
+        kind=bodies.kind.at[bidx].set(kind),
+        mass=bodies.mass.at[bidx].set(jnp.where(sm, mass, bodies.mass[bidx])),
+        inv_mass=bodies.inv_mass.at[bidx].set(
+            jnp.where(sm, 1.0 / jnp.maximum(mass, 1e-9), bodies.inv_mass[bidx])
+        ),
+        inertia_body=bodies.inertia_body.at[bidx].set(
+            jnp.where(sm[:, None, None], inertia, bodies.inertia_body[bidx])
+        ),
+        inv_inertia_body=bodies.inv_inertia_body.at[bidx].set(
+            jnp.where(sm[:, None, None], inv_inertia, bodies.inv_inertia_body[bidx])
+        ),
+        position=bodies.position.at[bidx].set(
+            jnp.where(sm[:, None], new_pos, bodies.position[bidx])
+        ),
+    )
+    pool = pool._replace(
+        origin=jnp.where(sm[:, None], new_origin, pool.origin)
+    )
+    return phys._replace(bodies=bodies), pool
+
+
+def _inherit_fragment_motion(phys: PhysicsState, pool: VoxelObjectPool, src_body, new_mask):
+    """Give newly activated fragment bodies the source body's pose and the
+    source's point velocity at their COM (momentum conservation per fragment)."""
+    bodies = phys.bodies
+    bidx = pool.body_index
+    from ..physics.state import compute_velocities, synchronize_momenta
+
+    v, w = compute_velocities(bodies)
+    src_pos = bodies.position[src_body]
+    src_ori = bodies.orientation[src_body]
+    bodies = bodies._replace(
+        position=bodies.position.at[bidx].set(
+            jnp.where(new_mask[:, None], src_pos[None, :], bodies.position[bidx])
+        ),
+        orientation=bodies.orientation.at[bidx].set(
+            jnp.where(new_mask[:, None], src_ori[None, :], bodies.orientation[bidx])
+        ),
+    )
+    # after COM sync the fragment position differs from src; velocity of that
+    # point on the source: v + ω×r
+    frag_pos = bodies.position[bidx]
+    r = frag_pos - src_pos[None, :]
+    v_point = v[src_body][None, :] + jnp.cross(
+        jnp.broadcast_to(w[src_body][None, :], r.shape), r
+    )
+    new_v = jnp.where(new_mask[:, None], v_point, v[bidx])
+    new_w = jnp.where(new_mask[:, None], w[src_body][None, :], w[bidx])
+    vv = v.at[bidx].set(new_v)
+    ww = w.at[bidx].set(new_w)
+    sel = jnp.zeros(bodies.n, bool).at[bidx].set(new_mask, mode="drop")
+    synced = synchronize_momenta(bodies, vv, ww)
+    bodies = bodies._replace(
+        momentum=jnp.where(sel[:, None], synced.momentum, bodies.momentum),
+        angular_momentum=jnp.where(
+            sel[:, None], synced.angular_momentum, bodies.angular_momentum
+        ),
+        velocity=jnp.where(sel[:, None], vv, bodies.velocity),
+        angular_velocity=jnp.where(sel[:, None], ww, bodies.angular_velocity),
+    )
+    return phys._replace(bodies=bodies)
+
+
+def make_engine_step(
+    params: EngineParams,
+    config: EngineConfig,
+    mesh_vert_cap: int,
+    mesh_tri_cap: int,
+    enable_voxel_contacts: bool = True,
+    enable_absorption: bool = True,
+    enable_splitting: bool = True,
+    enable_fracturing: bool = True,
+):
+    """Build the jitted engine step closure (static features baked in)."""
+    dt = config.physics.simulator.initial_time_step_duration
+    n_substeps = config.physics.simulator.n_substeps
+    solver_cfg = config.physics.constraint_solver
+    max_contacts = config.tpu.max_contacts
+    solver_mode = config.tpu.solver_mode
+
+    def extra_contacts(pool):
+        def fn(bodies, contacts):
+            probes = extract_probes(pool, params.voxel_response)
+            vc = voxel_contacts(
+                pool, probes, params.phys_params.collidables,
+                bodies.position, bodies.orientation, max_contacts,
+            )
+            return merge_contact_buffers(contacts, vc, max_contacts)
+
+        return fn
+
+    def step(sim: SimState) -> SimState:
+        phys, pool = sim.phys, sim.voxels
+        prev_pos = phys.bodies.position
+        prev_ori = phys.bodies.orientation
+
+        # 1. physics (with voxel probe contacts merged in)
+        phys = physics_step(
+            phys, params.phys_params, dt, n_substeps, solver_cfg,
+            max_contacts, solver_mode,
+            extra_contacts_fn=extra_contacts(pool) if enable_voxel_contacts else None,
+        )
+
+        # 2. absorption (ref task ApplyVoxelAbsorption)
+        if enable_absorption:
+            pool = apply_absorption(
+                pool, params.absorbers, phys.bodies.position, phys.bodies.orientation
+            )
+
+        # 3. fracturing on impact impulse (ref task ExecuteVoxelObjectFracturing)
+        rng = sim.rng
+        if enable_fracturing:
+            phys, pool, rng = _maybe_fracture(phys, pool, rng)
+
+        # 4. split detection for one dirty object (ref: incremental split
+        #    handling — one extraction per frame)
+        if enable_splitting:
+            phys, pool = _maybe_split(phys, pool)
+
+        # 5. inertia/COM sync + remesh for dirty objects
+        dirty = pool.mesh_dirty
+        any_dirty = jnp.any(dirty)
+
+        def do_sync(args):
+            phys, pool, meshes = args
+            phys2, pool2 = _sync_voxel_bodies(
+                phys, pool, params.type_density, dirty
+            )
+            full = surface_nets_batched(pool2.sdf, pool2.vtype)
+            meshes2 = compact_mesh_batched(full, mesh_vert_cap, mesh_tri_cap)
+            pool2 = pool2._replace(mesh_dirty=jnp.zeros_like(pool2.mesh_dirty))
+            return phys2, pool2, meshes2
+
+        phys, pool, meshes = jax.lax.cond(
+            any_dirty, do_sync, lambda a: a, (phys, pool, sim.meshes)
+        )
+
+        return SimState(
+            phys=phys,
+            voxels=pool,
+            meshes=meshes,
+            render=sim.render,
+            prev_position=prev_pos,
+            prev_orientation=prev_ori,
+            rng=rng,
+        )
+
+    def _maybe_fracture(phys: PhysicsState, pool: VoxelObjectPool, rng):
+        """Fracture the voxel object with the strongest over-threshold contact
+        impulse (ref: fracturing.rs:508 handle_fracturing_impacts consuming
+        cached collision impulses)."""
+        cache = phys.solver_cache
+        imp_n = jnp.where(cache.active, cache.impulses[:, 0], 0.0)  # [C]
+        body_of_obj = pool.body_index  # [O]
+        involved = (cache.body_a[None, :] == body_of_obj[:, None]) | (
+            cache.body_b[None, :] == body_of_obj[:, None]
+        )  # [O,C]
+        imp_per_obj = jnp.max(jnp.where(involved, imp_n[None, :], 0.0), axis=1)
+        best_contact = jnp.argmax(jnp.where(involved, imp_n[None, :], -1.0), axis=1)
+
+        exceed = (
+            params.fracturable
+            & pool.alive
+            & (imp_per_obj > params.fracture_threshold)
+        )
+        any_exceed = jnp.any(exceed)
+        target = jnp.argmax(jnp.where(exceed, imp_per_obj, -1.0))
+
+        n_seeds = 4  # fragments per event (source keeps seed 0)
+        free_order = jnp.argsort(pool.alive, stable=True)  # free slots first
+        free_slots = jnp.where(
+            ~pool.alive[free_order][: n_seeds - 1],
+            free_order[: n_seeds - 1],
+            -1,
+        ).astype(jnp.int32)
+
+        def do(args):
+            phys, pool, rng = args
+            rng, sub = jax.random.split(rng)
+            tb = pool.body_index[target]
+            impact_world = cache.position[best_contact[target]]
+            impact_local = quat.inverse_rotate(
+                phys.bodies.orientation[tb], impact_world - phys.bodies.position[tb]
+            )
+            pool2 = fracture_object(
+                pool, target, impact_local, sub, free_slots,
+                params.fracture_radius[target], n_seeds,
+            )
+            new_mask = pool2.alive & ~pool.alive
+            phys2 = _inherit_fragment_motion(phys, pool2, tb, new_mask)
+            return phys2, pool2, rng
+
+        return jax.lax.cond(any_exceed, do, lambda a: a, (phys, pool, rng))
+
+    def _maybe_split(phys: PhysicsState, pool: VoxelObjectPool):
+        dirty_split = pool.mesh_dirty & pool.alive
+        any_candidate = jnp.any(dirty_split)
+        obj = jnp.argmax(dirty_split)
+        free = ~pool.alive
+        free_slot = jnp.where(jnp.any(free), jnp.argmax(free), -1)
+
+        def do(args):
+            phys, pool = args
+            pool2, did = split_off_disconnected_region(pool, obj, free_slot)
+            # new fragment gets body pose/velocity from the source
+            new_mask = jnp.zeros(pool.n_objects, bool).at[
+                jnp.maximum(free_slot, 0)
+            ].set(did)
+            phys2 = _inherit_fragment_motion(
+                phys, pool2, pool.body_index[obj], new_mask
+            )
+            return phys2, pool2
+
+        return jax.lax.cond(any_candidate, do, lambda a: a, (phys, pool))
+
+    return step

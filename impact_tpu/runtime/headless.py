@@ -1,0 +1,107 @@
+"""Headless runtime: the game loop without a window.
+
+Ref: engine/src/runtime/headless.rs:32-42 (headless run loop) and
+engine/src/engine/game_loop.rs:17-72 (per-iteration flow: run frame tasks,
+handle errors, frame-duration bookkeeping, metrics). The TPU frame is two
+dispatches: the jitted engine step (physics+deformation) and the jitted
+render; metrics come from host-side timers around them
+(utils.timing.TaskTimer = the TaskTimer analog).
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+
+from ..render.pipeline import render_frame
+from ..scene.assembly import build_render_scene
+from ..scene.materials import VoxelTypeRegistry, default_registry
+from ..utils.config import EngineConfig
+from ..utils.timing import EngineMetrics, TaskTimer
+from .engine import make_engine_step
+from .setup import SceneBuildResult, render_config_from_engine_config
+
+
+class HeadlessRuntime:
+    """Owns the compiled scene and the jitted step/render closures."""
+
+    def __init__(
+        self,
+        build: SceneBuildResult,
+        config: EngineConfig,
+        registry: VoxelTypeRegistry | None = None,
+        enable_fracturing: bool = True,
+        enable_absorption: bool = True,
+        enable_splitting: bool = True,
+    ):
+        self.config = config
+        self.registry = registry or default_registry()
+        self.sim = build.sim
+        self.params = build.params
+        self.info = build.info
+        self.render_config = render_config_from_engine_config(config)
+        self.metrics = EngineMetrics()
+        self.timer = TaskTimer()
+
+        step_fn = make_engine_step(
+            self.params, config,
+            build.info["mesh_vert_cap"], build.info["mesh_tri_cap"],
+            enable_absorption=enable_absorption,
+            enable_splitting=enable_splitting,
+            enable_fracturing=enable_fracturing,
+        )
+        self._step = jax.jit(step_fn)
+
+        params = self.params
+        registry_ = self.registry
+        rc = self.render_config
+
+        def render(sim):
+            scene = build_render_scene(
+                sim.voxels, sim.meshes, registry_,
+                sim.phys.bodies.position, sim.phys.bodies.orientation,
+                sim.prev_position, sim.prev_orientation,
+                params.static_geometry,
+            )
+            img, hdr, rstate = render_frame(
+                scene, params.lights, params.camera, params.camera,
+                sim.render, rc,
+            )
+            return img, sim._replace(render=rstate)
+
+        self._render = jax.jit(render)
+
+    def step(self, n: int = 1):
+        """Advance the simulation ``n`` frames (no rendering)."""
+        with self.timer.time("step", block_on=None):
+            for _ in range(n):
+                self.sim = self._step(self.sim)
+            jax.block_until_ready(self.sim)
+        return self.sim
+
+    def render(self):
+        """Render the current state → u8 image [H,W,3]."""
+        with self.timer.time("render"):
+            img, self.sim = self._render(self.sim)
+            img = jax.block_until_ready(img)
+        return img
+
+    def run(self, n_frames: int, render_every: int = 0, screenshot_path=None):
+        """Game loop: step each frame; optionally render every k-th frame
+        (ref: game_loop max_iterations semantics)."""
+        images = []
+        for i in range(n_frames):
+            t0 = time.perf_counter()
+            self.step()
+            if render_every and (i % render_every == 0):
+                img = self.render()
+                images.append(img)
+                if screenshot_path:
+                    from ..utils.image import save_png
+
+                    save_png(f"{screenshot_path}/frame_{i:05d}.png", img)
+            self.metrics.record_frame(time.perf_counter() - t0)
+        self.metrics.last_task_execution_times = self.timer.drain()
+        return images

@@ -1,0 +1,676 @@
+"""Scene compilation: ECS world → device pools.
+
+Ref: engine/src/setup.rs:18-69 — the reference's entity-setup pipeline
+converts "setup components" into runtime resources (rigid bodies, collidables,
+force generators, voxel objects, lights, cameras) and strips them. Here the
+pipeline runs once on the host at scene build (and again after staging), and
+emits the SimState/EngineParams pytrees the jitted step consumes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ecs import World
+from ..ecs import components as C
+from ..math import quaternion as quatlib
+from ..physics import (
+    KIND_DYNAMIC,
+    KIND_KINEMATIC,
+    PhysicsParams,
+    init_physics_state,
+)
+from ..physics import inertia as analytic_inertia
+from ..physics.collision import empty_collidable_pools
+from ..physics.driven_motion import empty_motion_driver_pools
+from ..physics.forces import apply_forces_and_torques, empty_force_pools
+from ..render import Camera, empty_light_pools, look_at
+from ..scene.assembly import empty_static_geometry
+from ..scene.materials import VoxelTypeRegistry, default_registry
+from ..utils.config import EngineConfig
+from ..voxel import sdf as sdflib
+from ..voxel.interaction import empty_absorber_pools
+from ..voxel.mesh import compact_mesh_batched, surface_nets_batched
+from ..voxel.object import empty_voxel_object_pool, generate_sdf_grid
+from .engine import EngineParams, SimState
+
+
+class SceneBuildResult:
+    def __init__(self, sim: SimState, params: EngineParams, info: dict):
+        self.sim = sim
+        self.params = params
+        self.info = info
+
+
+# --- numpy staging shim --------------------------------------------------------
+# Scene compilation performs thousands of tiny slot writes; doing them as
+# jnp ``.at[].set`` would dispatch one XLA op each (minutes of host time).
+# These wrappers keep the jnp-style syntax but mutate numpy buffers in place;
+# the pools convert to device arrays once at the end.
+
+
+class _MutArray(np.ndarray):
+    @property
+    def at(self):
+        return _AtIndexer(self)
+
+
+class _AtIndexer:
+    def __init__(self, arr):
+        self._arr = arr
+
+    def __getitem__(self, idx):
+        return _AtRef(self._arr, idx)
+
+
+class _AtRef:
+    def __init__(self, arr, idx):
+        self._arr = arr
+        self._idx = idx
+
+    def set(self, value, **_):
+        self._arr[self._idx] = np.asarray(value)
+        return self._arr
+
+    def add(self, value, **_):
+        self._arr[self._idx] += np.asarray(value)
+        return self._arr
+
+
+def _staged(tree):
+    """Pytree of jnp arrays → mutable numpy views with .at support."""
+    return jax.tree.map(
+        lambda x: np.array(x).view(_MutArray), tree
+    )
+
+
+def _committed(tree):
+    """Mutable numpy staging → device arrays."""
+    return jax.tree.map(lambda x: jnp.asarray(np.asarray(x)), tree)
+
+
+def compile_scene(
+    world: World,
+    config: EngineConfig,
+    registry: VoxelTypeRegistry | None = None,
+    sdf_generators: dict | None = None,
+    static_geometry=None,
+    rng_seed: int = 0,
+) -> SceneBuildResult:
+    """Lower the ECS world into device state (the setup pipeline)."""
+    registry = registry or default_registry()
+    sdf_generators = sdf_generators or {}
+    tc = config.tpu
+    o_max = tc.max_voxel_objects
+    g = tc.voxel_grid_size
+
+    n_regular = tc.max_bodies - o_max
+    assert n_regular > 0, "max_bodies must exceed max_voxel_objects"
+    voxel_body_offset = n_regular
+
+    phys = init_physics_state(tc.max_bodies, tc.max_contacts)
+    bodies = _staged(phys.bodies)
+    coll = _staged(
+        empty_collidable_pools(n_spheres=min(64, tc.max_bodies), n_planes=8, n_capsules=16)
+    )
+    forces = _staged(empty_force_pools(tc.max_bodies))
+    drivers = _staged(empty_motion_driver_pools())
+    lights = _staged(empty_light_pools(4, 2))
+    absorbers = _staged(empty_absorber_pools())
+    pool = _staged(empty_voxel_object_pool(o_max, g))
+    pool = pool._replace(
+        body_index=(np.arange(o_max, dtype=np.int32) + voxel_body_offset).view(_MutArray)
+    )
+
+    voxel_response = np.zeros((o_max, 3), np.float32)
+    fracturable = np.zeros(o_max, bool)
+    fracture_threshold = np.full(o_max, np.inf, np.float32)
+    fracture_radius = np.ones(o_max, np.float32)
+
+    camera = Camera(
+        jnp.array([0.0, 5.0, 20.0]),
+        look_at([0.0, 5.0, 20.0], [0.0, 0.0, 0.0]),
+        jnp.asarray(np.pi / 3, jnp.float32),
+        jnp.asarray(0.05, jnp.float32),
+        jnp.asarray(500.0, jnp.float32),
+    )
+
+    ground_planes: list[float] = []
+    cursor = {"body": 0, "sphere": 0, "plane": 0, "capsule": 0, "accel": 0,
+              "local": 0, "spring": 0, "omni": 0, "uni": 0, "absorb": 0,
+              "voxel": 0, "circ": 0, "lin": 0, "rot": 0, "osc": 0, "orb": 0}
+    entity_body: dict[int, int] = {}
+    info = {"voxel_objects": [], "bodies": {}}
+
+    def frame_of(eid):
+        if world.has_component(eid, C.ReferenceFrame):
+            rf = world.get_component(eid, C.ReferenceFrame)
+            return np.asarray(rf.position, np.float32), np.asarray(
+                rf.orientation, np.float32
+            )
+        return np.zeros(3, np.float32), np.array([0, 0, 0, 1], np.float32)
+
+    def alloc_body(eid, kind):
+        nonlocal bodies
+        i = cursor["body"]
+        assert i < n_regular, "regular body pool exhausted"
+        cursor["body"] += 1
+        pos, ori = frame_of(eid)
+        vel = np.zeros(3, np.float32)
+        ang = np.zeros(3, np.float32)
+        if world.has_component(eid, C.Motion):
+            mo = world.get_component(eid, C.Motion)
+            vel = np.asarray(mo.linear_velocity, np.float32)
+            ang = np.asarray(mo.angular_velocity, np.float32)
+        bodies = bodies._replace(
+            kind=bodies.kind.at[i].set(kind),
+            position=bodies.position.at[i].set(pos),
+            orientation=bodies.orientation.at[i].set(ori),
+            velocity=bodies.velocity.at[i].set(vel),
+            angular_velocity=bodies.angular_velocity.at[i].set(ang),
+        )
+        if kind == KIND_DYNAMIC:
+            bodies = bodies._replace(
+                momentum=bodies.momentum.at[i].set(bodies.mass[i] * vel)
+            )
+        entity_body[eid] = i
+        return i
+
+    def body_for(eid, default_kind=KIND_KINEMATIC):
+        if eid not in entity_body:
+            alloc_body(eid, default_kind)
+        return entity_body[eid]
+
+    def set_dynamic_properties(bi, mass, com, inertia):
+        nonlocal bodies
+        inertia = np.asarray(inertia, np.float32)
+        bodies = bodies._replace(
+            mass=bodies.mass.at[bi].set(float(mass)),
+            inv_mass=bodies.inv_mass.at[bi].set(1.0 / float(mass)),
+            inertia_body=bodies.inertia_body.at[bi].set(inertia),
+            inv_inertia_body=bodies.inv_inertia_body.at[bi].set(
+                np.linalg.inv(inertia)
+            ),
+            momentum=bodies.momentum.at[bi].set(
+                float(mass) * bodies.velocity[bi]
+            ),
+        )
+
+    # --- pass 1: voxel objects -------------------------------------------------
+    voxel_kinds = (C.VoxelSphere, C.VoxelBox, C.VoxelCapsule, C.VoxelSphereUnion,
+                   C.GeneratedVoxelObject)
+    for eid in world.entities_with():
+        shape = None
+        for ck in voxel_kinds:
+            if world.has_component(eid, ck):
+                shape = world.get_component(eid, ck)
+                break
+        if shape is None:
+            continue
+        oi = cursor["voxel"]
+        assert oi < o_max, "voxel object pool exhausted"
+        cursor["voxel"] += 1
+
+        extent = float(shape.voxel_extent)
+        if isinstance(shape, C.VoxelSphere):
+            graph = sdflib.sphere(shape.radius * extent)
+        elif isinstance(shape, C.VoxelBox):
+            graph = sdflib.box(
+                (shape.extent_x * extent, shape.extent_y * extent, shape.extent_z * extent)
+            )
+        elif isinstance(shape, C.VoxelCapsule):
+            graph = sdflib.capsule(shape.radius * extent, shape.segment_length * extent)
+        elif isinstance(shape, C.VoxelSphereUnion):
+            off = np.asarray(shape.center_offsets) * extent
+            graph = sdflib.union(
+                sdflib.translation(sdflib.sphere(shape.radius_1 * extent), -off / 2),
+                sdflib.translation(sdflib.sphere(shape.radius_2 * extent), off / 2),
+                smoothness=shape.smoothness * extent,
+            )
+        else:  # GeneratedVoxelObject
+            graph = sdf_generators[int(shape.generator_id)]
+        if world.has_component(eid, C.MultifractalNoiseSDFModification):
+            nm = world.get_component(eid, C.MultifractalNoiseSDFModification)
+            graph = sdflib.noise_modifier(
+                graph, nm.octaves, nm.frequency, nm.lacunarity, nm.persistence,
+                nm.amplitude, int(nm.seed),
+            )
+
+        sdf_grid, origin = generate_sdf_grid(graph, g, extent)
+        vtype_grid = jnp.zeros((g, g, g), jnp.int32)
+        if world.has_component(eid, C.SameVoxelType):
+            vt = world.get_component(eid, C.SameVoxelType)
+            vtype_grid = jnp.full((g, g, g), int(vt.voxel_type), jnp.int32)
+        elif world.has_component(eid, C.GradientNoiseVoxelTypes):
+            gn = world.get_component(eid, C.GradientNoiseVoxelTypes)
+            coords = (
+                jnp.stack(
+                    jnp.meshgrid(*([jnp.arange(g, dtype=jnp.float32)] * 3), indexing="ij"),
+                    axis=-1,
+                )
+                * extent
+            )
+            noise = sdflib.gradient_noise(
+                coords * gn.noise_frequency, seed=int(gn.seed)
+            )
+            sel = jnp.clip(
+                ((noise * 0.5 + 0.5) * gn.n_voxel_types).astype(jnp.int32),
+                0, gn.n_voxel_types - 1,
+            )
+            vtype_grid = jnp.asarray(gn.voxel_types, jnp.int32)[sel]
+
+        pool = pool._replace(
+            alive=pool.alive.at[oi].set(True),
+            voxel_extent=pool.voxel_extent.at[oi].set(extent),
+            origin=pool.origin.at[oi].set(origin),
+            sdf=pool.sdf.at[oi].set(sdf_grid),
+            vtype=pool.vtype.at[oi].set(vtype_grid),
+            mesh_dirty=pool.mesh_dirty.at[oi].set(True),
+        )
+
+        # body binding: static slot voxel_body_offset + oi
+        bi = voxel_body_offset + oi
+        pos, ori = frame_of(eid)
+        dynamic = world.has_component(eid, C.DynamicVoxels)
+        vel = np.zeros(3, np.float32)
+        ang = np.zeros(3, np.float32)
+        if world.has_component(eid, C.Motion):
+            mo = world.get_component(eid, C.Motion)
+            vel = np.asarray(mo.linear_velocity, np.float32)
+            ang = np.asarray(mo.angular_velocity, np.float32)
+        bodies = bodies._replace(
+            kind=bodies.kind.at[bi].set(KIND_DYNAMIC if dynamic else KIND_KINEMATIC),
+            position=bodies.position.at[bi].set(pos),
+            orientation=bodies.orientation.at[bi].set(ori),
+            velocity=bodies.velocity.at[bi].set(vel),
+            angular_velocity=bodies.angular_velocity.at[bi].set(ang),
+        )
+        entity_body[eid] = bi
+
+        if world.has_component(eid, C.VoxelCollidable):
+            vc = world.get_component(eid, C.VoxelCollidable)
+            voxel_response[oi] = (vc.restitution, vc.static_friction, vc.dynamic_friction)
+        if world.has_component(eid, C.FracturingProperties):
+            fp = world.get_component(eid, C.FracturingProperties)
+            fracturable[oi] = True
+            fracture_threshold[oi] = fp.impulse_threshold
+            fracture_radius[oi] = fp.fracture_radius
+        if world.has_component(eid, C.ConstantAcceleration):
+            ca = world.get_component(eid, C.ConstantAcceleration)
+            j = cursor["accel"]; cursor["accel"] += 1
+            forces = forces._replace(
+                const_accel_body=forces.const_accel_body.at[j].set(bi),
+                const_accel=forces.const_accel.at[j].set(
+                    jnp.asarray(ca.acceleration)
+                ),
+                const_accel_mask=forces.const_accel_mask.at[j].set(True),
+            )
+        info["voxel_objects"].append({"entity": eid, "slot": oi, "body": bi})
+        world.strip_setup_components(eid)
+
+    # --- pass 2: regular bodies + collidables + forces + drivers ----------------
+    for eid in world.entities_with():
+        if eid in entity_body:
+            continue  # voxel entities handled
+        is_dynamic = world.has_component(eid, C.DynamicRigidBodySubstance) or \
+            world.has_component(eid, C.DynamicRigidBodyInertialProperties)
+        is_kinematic = (
+            world.has_component(eid, C.KinematicRigidBodyMarker)
+            or world.has_component(eid, C.CircularTrajectory)
+            or world.has_component(eid, C.ConstantAccelerationTrajectory)
+            or world.has_component(eid, C.ConstantRotation)
+            or world.has_component(eid, C.HarmonicOscillation)
+            or world.has_component(eid, C.OrbitalTrajectory)
+        )
+        needs_body = (
+            is_dynamic or is_kinematic
+            or world.has_component(eid, C.SphericalCollidable)
+            or world.has_component(eid, C.PlanarCollidable)
+            or world.has_component(eid, C.CapsularCollidable)
+            or world.has_component(eid, C.VoxelAbsorbingSphere)
+        )
+        if not needs_body:
+            continue
+        bi = alloc_body(eid, KIND_DYNAMIC if is_dynamic else KIND_KINEMATIC)
+
+        # inertial properties
+        if world.has_component(eid, C.DynamicRigidBodyInertialProperties):
+            ip = world.get_component(eid, C.DynamicRigidBodyInertialProperties)
+            set_dynamic_properties(bi, ip.mass, ip.center_of_mass, ip.inertia_tensor)
+        elif world.has_component(eid, C.DynamicRigidBodySubstance):
+            sub = world.get_component(eid, C.DynamicRigidBodySubstance)
+            rho = sub.mass_density
+            if world.has_component(eid, C.SphericalCollidable):
+                sc = world.get_component(eid, C.SphericalCollidable)
+                m = float(analytic_inertia.sphere_mass(rho, sc.radius))
+                inertia = np.asarray(
+                    analytic_inertia.sphere_inertia(jnp.asarray(m), jnp.asarray(sc.radius))
+                )
+            elif world.has_component(eid, C.CapsularCollidable):
+                cc = world.get_component(eid, C.CapsularCollidable)
+                seg = float(np.linalg.norm(np.asarray(cc.segment_end) - np.asarray(cc.segment_start)))
+                m = float(analytic_inertia.capsule_mass(rho, cc.radius, seg))
+                inertia = np.asarray(
+                    analytic_inertia.capsule_inertia(jnp.asarray(m), jnp.asarray(cc.radius), jnp.asarray(seg))
+                )
+            else:
+                m, inertia = rho, np.eye(3, dtype=np.float32) * rho
+            set_dynamic_properties(bi, m, np.zeros(3), inertia)
+
+        # collidables
+        if world.has_component(eid, C.SphericalCollidable):
+            sc = world.get_component(eid, C.SphericalCollidable)
+            j = cursor["sphere"]; cursor["sphere"] += 1
+            coll = coll._replace(
+                sph_body=coll.sph_body.at[j].set(bi),
+                sph_center=coll.sph_center.at[j].set(jnp.asarray(sc.center)),
+                sph_radius=coll.sph_radius.at[j].set(sc.radius),
+                sph_kind=coll.sph_kind.at[j].set(sc.kind),
+                sph_response=coll.sph_response.at[j].set(
+                    jnp.array([sc.restitution, sc.static_friction, sc.dynamic_friction])
+                ),
+                sph_mask=coll.sph_mask.at[j].set(True),
+            )
+        if world.has_component(eid, C.PlanarCollidable):
+            pc = world.get_component(eid, C.PlanarCollidable)
+            if tuple(np.round(pc.normal, 3)) == (0.0, 1.0, 0.0):
+                ground_planes.append(float(pc.displacement))
+            j = cursor["plane"]; cursor["plane"] += 1
+            coll = coll._replace(
+                pln_body=coll.pln_body.at[j].set(bi),
+                pln_normal=coll.pln_normal.at[j].set(jnp.asarray(pc.normal)),
+                pln_disp=coll.pln_disp.at[j].set(pc.displacement),
+                pln_kind=coll.pln_kind.at[j].set(pc.kind),
+                pln_response=coll.pln_response.at[j].set(
+                    jnp.array([pc.restitution, pc.static_friction, pc.dynamic_friction])
+                ),
+                pln_mask=coll.pln_mask.at[j].set(True),
+            )
+        if world.has_component(eid, C.CapsularCollidable):
+            cc = world.get_component(eid, C.CapsularCollidable)
+            j = cursor["capsule"]; cursor["capsule"] += 1
+            coll = coll._replace(
+                cap_body=coll.cap_body.at[j].set(bi),
+                cap_start=coll.cap_start.at[j].set(jnp.asarray(cc.segment_start)),
+                cap_end=coll.cap_end.at[j].set(jnp.asarray(cc.segment_end)),
+                cap_radius=coll.cap_radius.at[j].set(cc.radius),
+                cap_kind=coll.cap_kind.at[j].set(cc.kind),
+                cap_response=coll.cap_response.at[j].set(
+                    jnp.array([cc.restitution, cc.static_friction, cc.dynamic_friction])
+                ),
+                cap_mask=coll.cap_mask.at[j].set(True),
+            )
+
+        # forces
+        if world.has_component(eid, C.ConstantAcceleration):
+            ca = world.get_component(eid, C.ConstantAcceleration)
+            j = cursor["accel"]; cursor["accel"] += 1
+            forces = forces._replace(
+                const_accel_body=forces.const_accel_body.at[j].set(bi),
+                const_accel=forces.const_accel.at[j].set(jnp.asarray(ca.acceleration)),
+                const_accel_mask=forces.const_accel_mask.at[j].set(True),
+            )
+        if world.has_component(eid, C.LocalForce):
+            lf = world.get_component(eid, C.LocalForce)
+            j = cursor["local"]; cursor["local"] += 1
+            forces = forces._replace(
+                local_force_body=forces.local_force_body.at[j].set(bi),
+                local_force=forces.local_force.at[j].set(jnp.asarray(lf.force)),
+                local_point=forces.local_point.at[j].set(jnp.asarray(lf.point)),
+                local_force_mask=forces.local_force_mask.at[j].set(True),
+            )
+        if world.has_component(eid, C.DynamicGravity):
+            forces = forces._replace(
+                gravity_participant=forces.gravity_participant.at[bi].set(True)
+            )
+        if world.has_component(eid, C.DetailedDrag):
+            dd = world.get_component(eid, C.DetailedDrag)
+            forces = forces._replace(
+                drag_coef=forces.drag_coef.at[bi].set(dd.drag_coefficient)
+            )
+
+        # motion drivers
+        if world.has_component(eid, C.CircularTrajectory):
+            d = world.get_component(eid, C.CircularTrajectory)
+            j = cursor["circ"]; cursor["circ"] += 1
+            dr = drivers
+            drivers = dr._replace(
+                circ_body=dr.circ_body.at[j].set(bi),
+                circ_center=dr.circ_center.at[j].set(jnp.asarray(d.center)),
+                circ_radius=dr.circ_radius.at[j].set(d.radius),
+                circ_speed=dr.circ_speed.at[j].set(d.angular_speed),
+                circ_axis=dr.circ_axis.at[j].set(jnp.asarray(d.axis)),
+                circ_phase=dr.circ_phase.at[j].set(d.phase),
+                circ_mask=dr.circ_mask.at[j].set(True),
+            )
+        if world.has_component(eid, C.HarmonicOscillation):
+            d = world.get_component(eid, C.HarmonicOscillation)
+            j = cursor["osc"]; cursor["osc"] += 1
+            dr = drivers
+            drivers = dr._replace(
+                osc_body=dr.osc_body.at[j].set(bi),
+                osc_center=dr.osc_center.at[j].set(jnp.asarray(d.center)),
+                osc_dir=dr.osc_dir.at[j].set(jnp.asarray(d.direction)),
+                osc_amplitude=dr.osc_amplitude.at[j].set(d.amplitude),
+                osc_period=dr.osc_period.at[j].set(d.period),
+                osc_phase=dr.osc_phase.at[j].set(d.phase),
+                osc_mask=dr.osc_mask.at[j].set(True),
+            )
+        if world.has_component(eid, C.ConstantRotation):
+            d = world.get_component(eid, C.ConstantRotation)
+            j = cursor["rot"]; cursor["rot"] += 1
+            dr = drivers
+            drivers = dr._replace(
+                rot_body=dr.rot_body.at[j].set(bi),
+                rot_q0=dr.rot_q0.at[j].set(jnp.asarray(d.initial_orientation)),
+                rot_omega=dr.rot_omega.at[j].set(jnp.asarray(d.angular_velocity)),
+                rot_mask=dr.rot_mask.at[j].set(True),
+            )
+        if world.has_component(eid, C.OrbitalTrajectory):
+            d = world.get_component(eid, C.OrbitalTrajectory)
+            j = cursor["orb"]; cursor["orb"] += 1
+            dr = drivers
+            drivers = dr._replace(
+                orb_body=dr.orb_body.at[j].set(bi),
+                orb_focus=dr.orb_focus.at[j].set(jnp.asarray(d.focal_position)),
+                orb_a=dr.orb_a.at[j].set(d.semi_major_axis),
+                orb_e=dr.orb_e.at[j].set(d.eccentricity),
+                orb_period=dr.orb_period.at[j].set(d.orbital_period),
+                orb_orient=dr.orb_orient.at[j].set(jnp.asarray(d.orientation)),
+                orb_phase=dr.orb_phase.at[j].set(d.phase),
+                orb_mask=dr.orb_mask.at[j].set(True),
+            )
+
+        # absorbers
+        if world.has_component(eid, C.VoxelAbsorbingSphere):
+            ab = world.get_component(eid, C.VoxelAbsorbingSphere)
+            j = cursor["absorb"]; cursor["absorb"] += 1
+            absorbers = absorbers._replace(
+                sph_body=absorbers.sph_body.at[j].set(bi),
+                sph_offset=absorbers.sph_offset.at[j].set(jnp.asarray(ab.offset)),
+                sph_radius=absorbers.sph_radius.at[j].set(ab.radius),
+                sph_rate=absorbers.sph_rate.at[j].set(ab.rate),
+                sph_mask=absorbers.sph_mask.at[j].set(True),
+            )
+        world.strip_setup_components(eid)
+
+    # --- pass 3: lights + camera ------------------------------------------------
+    ambient = np.zeros(3, np.float32)
+    for eid in world.entities_with(C.AmbientEmission):
+        ambient += np.asarray(
+            world.get_component(eid, C.AmbientEmission).illuminance
+        )
+    lights = lights._replace(ambient_luminance=jnp.asarray(ambient))
+    for comp, shadowable in ((C.OmnidirectionalEmission, False),
+                             (C.ShadowableOmnidirectionalEmission, True)):
+        for eid in world.entities_with(comp):
+            e = world.get_component(eid, comp)
+            pos, _ = frame_of(eid)
+            j = cursor["omni"]; cursor["omni"] += 1
+            lights = lights._replace(
+                omni_position=lights.omni_position.at[j].set(pos),
+                omni_intensity=lights.omni_intensity.at[j].set(
+                    jnp.asarray(e.luminous_intensity)
+                ),
+                omni_extent=lights.omni_extent.at[j].set(e.source_extent),
+                omni_shadowable=lights.omni_shadowable.at[j].set(shadowable),
+                omni_mask=lights.omni_mask.at[j].set(True),
+            )
+    for comp, shadowable in ((C.UnidirectionalEmission, False),
+                             (C.ShadowableUnidirectionalEmission, True)):
+        for eid in world.entities_with(comp):
+            e = world.get_component(eid, comp)
+            j = cursor["uni"]; cursor["uni"] += 1
+            d = np.asarray(e.direction, np.float32)
+            d = d / max(np.linalg.norm(d), 1e-9)
+            lights = lights._replace(
+                uni_direction=lights.uni_direction.at[j].set(d),
+                uni_illuminance=lights.uni_illuminance.at[j].set(
+                    jnp.asarray(e.perpendicular_illuminance)
+                ),
+                uni_extent=lights.uni_extent.at[j].set(e.angular_source_extent),
+                uni_shadowable=lights.uni_shadowable.at[j].set(shadowable),
+                uni_mask=lights.uni_mask.at[j].set(True),
+            )
+    for eid in world.entities_with(C.PerspectiveCamera):
+        pc = world.get_component(eid, C.PerspectiveCamera)
+        pos, ori = frame_of(eid)
+        camera = Camera(
+            jnp.asarray(pos), jnp.asarray(ori),
+            jnp.asarray(pc.vertical_field_of_view, jnp.float32),
+            jnp.asarray(pc.near_distance, jnp.float32),
+            jnp.asarray(pc.far_distance, jnp.float32),
+        )
+        world.strip_setup_components(eid)
+
+    # medium
+    forces = forces._replace(
+        medium_density=np.asarray(config.physics.medium.mass_density, np.float32),
+        medium_velocity=np.asarray(config.physics.medium.velocity, np.float32),
+    )
+
+    # commit numpy staging to device arrays
+    bodies = _committed(bodies)
+    coll = _committed(coll)
+    forces = _committed(forces)
+    drivers = _committed(drivers)
+    lights = _committed(lights)
+    absorbers = _committed(absorbers)
+    pool = _committed(pool)
+
+    phys = phys._replace(bodies=apply_forces_and_torques(bodies, forces))
+
+    params = EngineParams(
+        phys_params=PhysicsParams(collidables=coll, forces=forces, drivers=drivers),
+        lights=lights,
+        absorbers=absorbers,
+        type_density=registry.mass_density,
+        voxel_response=jnp.asarray(voxel_response),
+        fracturable=jnp.asarray(fracturable),
+        fracture_threshold=jnp.asarray(fracture_threshold),
+        fracture_radius=jnp.asarray(fracture_radius),
+        camera=camera,
+        static_geometry=_build_static_geometry(static_geometry, ground_planes),
+    )
+
+    # initial meshes + voxel body sync (reuse the engine's sync helper)
+    from .engine import _sync_voxel_bodies
+
+    phys, pool = _sync_voxel_bodies(
+        phys, pool, registry.mass_density, pool.mesh_dirty
+    )
+    full = surface_nets_batched(pool.sdf, pool.vtype)
+    mesh_vert_cap = min(4096, (g - 1) ** 3)
+    mesh_tri_cap = min(8192, 6 * (g - 1) ** 3)
+    meshes = compact_mesh_batched(full, mesh_vert_cap, mesh_tri_cap)
+    pool = pool._replace(mesh_dirty=jnp.zeros_like(pool.mesh_dirty))
+
+    from ..render.pipeline import RenderConfig, init_render_state
+
+    render_cfg = render_config_from_engine_config(config)
+    sim = SimState(
+        phys=phys,
+        voxels=pool,
+        meshes=meshes,
+        render=init_render_state(render_cfg),
+        prev_position=phys.bodies.position,
+        prev_orientation=phys.bodies.orientation,
+        rng=jax.random.PRNGKey(rng_seed),
+    )
+    info.update(mesh_vert_cap=mesh_vert_cap, mesh_tri_cap=mesh_tri_cap,
+                n_regular_bodies=cursor["body"], n_voxel_objects=cursor["voxel"])
+    return SceneBuildResult(sim, params, info)
+
+
+def _build_static_geometry(user_geometry, ground_planes):
+    """Combine user-supplied static geometry with auto-generated render quads
+    for y-up planar collidables (the reference renders floors as meshed
+    entities; planes here get an implicit quad so scenes look right)."""
+    from ..scene.assembly import ground_plane_geometry
+
+    parts = []
+    if user_geometry is not None:
+        parts.append(user_geometry)
+    for y in ground_planes:
+        parts.append(ground_plane_geometry(y=y))
+    if not parts:
+        return empty_static_geometry()
+    if len(parts) == 1:
+        return parts[0]
+    # concatenate with vertex offsets
+    out = parts[0]
+    for p in parts[1:]:
+        base = out.vert_pos.shape[0]
+        out = type(out)(
+            vert_pos=jnp.concatenate([out.vert_pos, p.vert_pos]),
+            vert_normal=jnp.concatenate([out.vert_normal, p.vert_normal]),
+            vert_albedo=jnp.concatenate([out.vert_albedo, p.vert_albedo]),
+            vert_f0=jnp.concatenate([out.vert_f0, p.vert_f0]),
+            vert_roughness=jnp.concatenate([out.vert_roughness, p.vert_roughness]),
+            vert_emissive=jnp.concatenate([out.vert_emissive, p.vert_emissive]),
+            tri_indices=jnp.concatenate([out.tri_indices, p.tri_indices + base]),
+            tri_active=jnp.concatenate([out.tri_active, p.tri_active]),
+        )
+    return out
+
+
+def render_config_from_engine_config(config: EngineConfig):
+    from ..render.pipeline import RenderConfig
+
+    r = config.rendering
+    tone = r.capturing_camera.dynamic_range_compression.tone_mapping_method
+    tone = getattr(tone, "name", tone) or "ACES"
+    cam = r.capturing_camera.settings
+    ev = 0.0
+    sens = cam.sensitivity
+    if sens is not None and getattr(sens, "fields", None):
+        ev = sens.fields.get("ev_compensation", 0.0)
+    return RenderConfig(
+        width=config.tpu.render_width,
+        height=config.tpu.render_height,
+        shadow_map_resolution=min(
+            r.shadow_mapping.omnidirectional_light_shadow_map_resolution, 256
+        ),
+        ao_enabled=r.ambient_occlusion.enabled,
+        ao_sample_count=r.ambient_occlusion.sample_count,
+        ao_sample_radius=r.ambient_occlusion.sample_radius,
+        ao_intensity=r.ambient_occlusion.intensity,
+        ao_contrast=r.ambient_occlusion.contrast,
+        taa_enabled=r.temporal_anti_aliasing.enabled,
+        taa_current_frame_weight=r.temporal_anti_aliasing.current_frame_weight,
+        taa_variance_clipping_threshold=r.temporal_anti_aliasing.variance_clipping_threshold,
+        bloom_enabled=r.capturing_camera.bloom.enabled,
+        bloom_n_downsamplings=r.capturing_camera.bloom.n_downsamplings,
+        bloom_blurred_luminance_weight=r.capturing_camera.bloom.blurred_luminance_weight,
+        exposure_ev_compensation=ev,
+        exposure_lower=cam.exposure_bounds.lower,
+        exposure_upper=cam.exposure_bounds.upper,
+        luminance_lower=r.capturing_camera.average_luminance_computation.luminance_bounds.lower,
+        luminance_upper=r.capturing_camera.average_luminance_computation.luminance_bounds.upper,
+        exposure_current_frame_weight=r.capturing_camera.average_luminance_computation.current_frame_weight,
+        tone_mapping=tone,
+        shadows_enabled=r.shadow_mapping.enabled,
+        sky_luminance=(3000.0, 4500.0, 9000.0),
+    )

@@ -36,7 +36,13 @@ class VoxelProbes(NamedTuple):
 
 
 def extract_probes(pool: VoxelObjectPool, response_params) -> VoxelProbes:
-    """Pick one probe per 4³ block: the surface voxel with min |sdf|.
+    """Pick one probe per 4³ block: the most convex surface voxel.
+
+    The reference picks the max-convex-curvature mesh vertex per block
+    (collidable.rs:85-101); the grid analog is the surface voxel with the
+    fewest occupied neighbors (corners beat face centers), tie-broken by
+    |sdf|. Correct support polygons (e.g. a resting box's bottom corners)
+    depend on this choice.
 
     response_params: f32[O,3] per-object contact response.
     """
@@ -45,7 +51,11 @@ def extract_probes(pool: VoxelObjectPool, response_params) -> VoxelProbes:
     b = g // PROBE_BLOCK
     occ = occupancy(pool)
     surf = surface_mask(occ)
-    score = jnp.where(surf, jnp.abs(pool.sdf), jnp.inf)
+    from .object import adjacency_masks
+
+    adj = adjacency_masks(occ)
+    n_neighbors = sum(adj.values()).astype(jnp.float32)
+    score = jnp.where(surf, n_neighbors * 10.0 + jnp.abs(pool.sdf), jnp.inf)
     score_b = score.reshape(o, b, PROBE_BLOCK, b, PROBE_BLOCK, b, PROBE_BLOCK)
     score_b = jnp.transpose(score_b, (0, 1, 3, 5, 2, 4, 6)).reshape(
         o, b, b, b, PROBE_BLOCK**3

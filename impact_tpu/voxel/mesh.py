@@ -188,3 +188,52 @@ surface_nets_batched = jax.vmap(surface_nets)
 
 def mesh_counts(mesh: SurfaceNetsMesh):
     return jnp.sum(mesh.vert_active, axis=-1), jnp.sum(mesh.tri_active, axis=-1)
+
+
+class CompactMesh(NamedTuple):
+    """Fixed-capacity compacted mesh: active vertices/triangles packed to the
+    front (the analog of the reference's ChunkSubmeshManager buffer packing,
+    ref: mesh.rs:50-58 — but recomputed per change instead of incrementally)."""
+
+    vert_active: jnp.ndarray  # bool[Vc]
+    vert_pos: jnp.ndarray  # f32[Vc,3] grid units
+    vert_normal: jnp.ndarray  # f32[Vc,3]
+    vert_type: jnp.ndarray  # i32[Vc]
+    tri_active: jnp.ndarray  # bool[Tc]
+    tri_indices: jnp.ndarray  # i32[Tc,3] into the compacted vertex slots
+
+
+def compact_mesh(mesh: SurfaceNetsMesh, vert_cap: int, tri_cap: int) -> CompactMesh:
+    """Pack active vertices/triangles into fixed-capacity buffers.
+
+    Overflow beyond the caps is dropped (callers size caps for the worst
+    expected surface). Stable argsort keeps spatial ordering, which preserves
+    locality for downstream gathers.
+    """
+    v = mesh.vert_active.shape[0]
+    vorder = jnp.argsort(~mesh.vert_active, stable=True)  # old ids, actives first
+    new_of_old = jnp.zeros(v, jnp.int32).at[vorder].set(
+        jnp.arange(v, dtype=jnp.int32)
+    )
+    vsel = vorder[:vert_cap]
+    vact = mesh.vert_active[vsel]
+
+    torder = jnp.argsort(~mesh.tri_active, stable=True)
+    tsel = torder[:tri_cap]
+    tact = mesh.tri_active[tsel]
+    tidx = new_of_old[mesh.tri_indices[tsel]]
+    # drop triangles referencing overflowed vertices
+    tact = tact & jnp.all(tidx < vert_cap, axis=-1)
+    tidx = jnp.clip(tidx, 0, vert_cap - 1)
+
+    return CompactMesh(
+        vert_active=vact,
+        vert_pos=mesh.vert_pos[vsel],
+        vert_normal=mesh.vert_normal[vsel],
+        vert_type=mesh.vert_type[vsel],
+        tri_active=tact,
+        tri_indices=tidx,
+    )
+
+
+compact_mesh_batched = jax.vmap(compact_mesh, in_axes=(0, None, None))

@@ -1,0 +1,109 @@
+"""End-to-end engine tests on tiny scenes (the snapshot-tester analog for
+simulation behavior; rendering goldens live in apps/snapshot_tester.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from impact_tpu.models import SCENES, fracturing, voxel_box_tumbler
+from impact_tpu.runtime import HeadlessRuntime, compile_scene
+from impact_tpu.utils.config import EngineConfig
+from impact_tpu.voxel.object import nonempty_counts
+
+
+def tiny_config(**over):
+    cfg = EngineConfig()
+    cfg.tpu.max_voxel_objects = 4
+    cfg.tpu.max_bodies = 16
+    cfg.tpu.max_contacts = 128
+    cfg.tpu.voxel_grid_size = 16
+    cfg.tpu.render_width = 64
+    cfg.tpu.render_height = 48
+    cfg.physics.simulator.initial_time_step_duration = 0.01
+    cfg.rendering.shadow_mapping.enabled = False
+    cfg.rendering.ambient_occlusion.enabled = False
+    for k, v in over.items():
+        setattr(cfg.tpu, k, v)
+    return cfg
+
+
+def small_tumbler():
+    cfg = tiny_config()
+    world = voxel_box_tumbler(n_boxes=1)
+    # shrink the box to fit a 16³ grid
+    from impact_tpu.ecs import components as C
+
+    for eid in world.entities_with(C.VoxelBox):
+        world.set_field(eid, C.VoxelBox, "extent_x", 6.0)
+        world.set_field(eid, C.VoxelBox, "extent_y", 6.0)
+        world.set_field(eid, C.VoxelBox, "extent_z", 6.0)
+    return world, cfg
+
+
+class TestEngine:
+    def test_tumbler_settles_on_floor(self):
+        world, cfg = small_tumbler()
+        rt = HeadlessRuntime(compile_scene(world, cfg), cfg)
+        rt.step(350)
+        body = rt.sim.voxels.body_index[0]
+        y = float(rt.sim.phys.bodies.position[body, 1])
+        # box half-height = 3 voxels × 0.25 = 0.75; COM should rest near that
+        assert 0.4 < y < 1.3, y
+        v = float(jnp.linalg.norm(rt.sim.phys.bodies.velocity[body]))
+        assert v < 0.5
+
+    def test_deterministic_across_runs(self):
+        world, cfg = small_tumbler()
+        res = []
+        for _ in range(2):
+            w, c = small_tumbler()
+            rt = HeadlessRuntime(compile_scene(w, c), c)
+            rt.step(50)
+            res.append(np.asarray(rt.sim.phys.bodies.position))
+        np.testing.assert_array_equal(res[0], res[1])
+
+    def test_render_produces_image(self):
+        world, cfg = small_tumbler()
+        rt = HeadlessRuntime(compile_scene(world, cfg), cfg)
+        rt.step(5)
+        img = rt.render()
+        assert img.shape == (48, 64, 3)
+        assert img.dtype == np.uint8 or img.dtype == jnp.uint8
+        # scene is lit: not all black, not saturated white
+        assert 10 < float(np.mean(np.asarray(img))) < 245
+
+    def test_fracturing_scene_creates_fragments(self):
+        cfg = tiny_config(max_voxel_objects=6, max_bodies=24)
+        cfg.tpu.voxel_grid_size = 16
+        world = fracturing()
+        from impact_tpu.ecs import components as C
+
+        # shrink shapes into 16³ grids and soften the threshold so the impact
+        # fractures quickly at this scale
+        for eid in world.entities_with(C.VoxelBox):
+            world.set_field(eid, C.VoxelBox, "extent_x", 8.0)
+            world.set_field(eid, C.VoxelBox, "extent_y", 8.0)
+            world.set_field(eid, C.VoxelBox, "extent_z", 8.0)
+        for eid in world.entities_with(C.VoxelSphere):
+            world.set_field(eid, C.VoxelSphere, "radius", 4.0)
+        for eid in world.entities_with(C.FracturingProperties):
+            world.set_field(eid, C.FracturingProperties, "impulse_threshold", 1.0)
+            world.set_field(eid, C.FracturingProperties, "fracture_radius", 1.5)
+        rt = HeadlessRuntime(compile_scene(world, cfg), cfg)
+        n_alive_before = int(rt.sim.voxels.alive.sum())
+        total_before = int(np.sum(np.asarray(nonempty_counts(rt.sim.voxels))))
+        rt.step(200)
+        n_alive_after = int(rt.sim.voxels.alive.sum())
+        total_after = int(np.sum(np.asarray(nonempty_counts(rt.sim.voxels))))
+        assert n_alive_after > n_alive_before  # fragments spawned
+        # voxels conserved through fracture (no absorption in this scene)
+        assert total_after == total_before
+
+    def test_entry_points_compile(self):
+        import __graft_entry__ as ge
+
+        fn, args = ge.entry()
+        out = jax.jit(fn)(*args)
+        jax.block_until_ready(out)
+        assert out.phys.bodies.position.shape == args[0].phys.bodies.position.shape

@@ -1,0 +1,134 @@
+"""Tests for the native tessellation library and the mesh module."""
+
+import numpy as np
+import pytest
+
+from impact_tpu import native
+from impact_tpu.scene import mesh as meshlib
+
+
+def tet_volume(pts, t):
+    a, b, c, d = pts[t]
+    return abs(np.linalg.det(np.stack([b - a, c - a, d - a]))) / 6
+
+
+@pytest.mark.skipif(not native.available(), reason="native lib unavailable")
+class TestTessellation:
+    def test_cube_volume(self):
+        pts = np.array(
+            [[0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1], [1, 1, 0],
+             [1, 0, 1], [0, 1, 1], [1, 1, 1], [0.5, 0.5, 0.5]], np.float32,
+        )
+        tets = native.delaunay_tetrahedralize(pts)
+        assert len(tets) > 0
+        vol = sum(tet_volume(pts, t) for t in tets)
+        assert vol == pytest.approx(1.0, abs=1e-4)
+
+    def test_random_cloud_covers_hull(self):
+        rng = np.random.default_rng(1)
+        pts = rng.uniform(0, 5, (96, 3)).astype(np.float32)
+        tets = native.delaunay_tetrahedralize(pts)
+        vol = sum(tet_volume(pts, t) for t in tets)
+        from scipy.spatial import ConvexHull
+
+        assert vol == pytest.approx(ConvexHull(pts).volume, rel=1e-3)
+
+    def test_delaunay_empty_circumsphere_property(self):
+        rng = np.random.default_rng(2)
+        pts = rng.uniform(0, 1, (24, 3)).astype(np.float32).astype(np.float64)
+        tets = native.delaunay_tetrahedralize(pts.astype(np.float32))
+        for t in tets[:20]:
+            a, b, c, d = pts[t]
+            # circumcenter via linear solve
+            m = 2 * np.stack([b - a, c - a, d - a])
+            rhs = np.array([(b @ b - a @ a), (c @ c - a @ a), (d @ d - a @ a)])
+            cc = np.linalg.solve(m, rhs)
+            r = np.linalg.norm(a - cc)
+            dists = np.linalg.norm(pts - cc, axis=1)
+            inside = dists < r - 1e-5
+            inside[t] = False
+            assert not inside.any()
+
+    def test_voronoi_cell_vertices(self):
+        rng = np.random.default_rng(3)
+        pts = rng.uniform(0, 5, (40, 3)).astype(np.float32)
+        tets = native.delaunay_tetrahedralize(pts)
+        vc = native.voronoi_cell_vertices(pts, tets, 0)
+        assert len(vc) > 0
+        # every cell vertex is equidistant-ish to site 0 and farther sites
+        d0 = np.linalg.norm(vc - pts[0], axis=1)
+        assert np.all(np.isfinite(d0))
+
+
+class TestMeshGeneration:
+    def test_box_mesh_closed(self):
+        m = meshlib.box_mesh((2.0, 1.0, 3.0))
+        assert len(m.positions) == 24
+        assert len(m.indices) == 12
+        vol = self._signed_volume(m)
+        assert vol == pytest.approx(6.0, rel=1e-5)
+
+    def test_sphere_mesh_volume(self):
+        m = meshlib.sphere_mesh(radius=2.0, n_rings=32, n_segments=64)
+        vol = self._signed_volume(m)
+        assert vol == pytest.approx(4 / 3 * np.pi * 8, rel=0.01)
+
+    def test_cylinder_closed(self):
+        m = meshlib.cylinder_mesh(radius=1.0, length=2.0, n_segments=64)
+        assert self._signed_volume(m) == pytest.approx(np.pi * 2.0, rel=0.01)
+
+    def test_cone_closed(self):
+        m = meshlib.cone_mesh(radius=1.0, length=3.0, n_segments=64)
+        assert abs(self._signed_volume(m)) == pytest.approx(np.pi / 3 * 3.0, rel=0.01)
+
+    def test_capsule_volume(self):
+        m = meshlib.capsule_mesh(radius=1.0, segment_length=2.0, n_rings=24, n_segments=48)
+        expected = np.pi * 1 * 2 + 4 / 3 * np.pi
+        assert self._signed_volume(m) == pytest.approx(expected, rel=0.02)
+
+    def test_normals_unit(self):
+        for m in (meshlib.sphere_mesh(), meshlib.cylinder_mesh(), meshlib.capsule_mesh()):
+            lens = np.linalg.norm(m.normals, axis=1)
+            np.testing.assert_allclose(lens, 1.0, atol=1e-5)
+
+    @staticmethod
+    def _signed_volume(m):
+        a = m.positions[m.indices[:, 0]]
+        b = m.positions[m.indices[:, 1]]
+        c = m.positions[m.indices[:, 2]]
+        return abs(float(np.sum(np.einsum("td,td->t", a, np.cross(b, c)))) / 6.0)
+
+
+class TestMeshIO:
+    def test_obj_roundtrip(self, tmp_path):
+        m = meshlib.box_mesh()
+        p = tmp_path / "box.obj"
+        with open(p, "w") as f:
+            for v in m.positions:
+                f.write(f"v {v[0]} {v[1]} {v[2]}\n")
+            for n in m.normals:
+                f.write(f"vn {n[0]} {n[1]} {n[2]}\n")
+            for t in m.indices:
+                f.write(f"f {t[0]+1} {t[1]+1} {t[2]+1}\n")
+        loaded = meshlib.load_obj(p)
+        np.testing.assert_allclose(loaded.positions, m.positions)
+        np.testing.assert_array_equal(loaded.indices, m.indices)
+
+    def test_ply_load(self, tmp_path):
+        p = tmp_path / "tri.ply"
+        p.write_text(
+            "ply\nformat ascii 1.0\nelement vertex 3\n"
+            "property float x\nproperty float y\nproperty float z\n"
+            "element face 1\nproperty list uchar int vertex_indices\n"
+            "end_header\n0 0 0\n1 0 0\n0 1 0\n3 0 1 2\n"
+        )
+        m = meshlib.load_ply(p)
+        assert len(m.positions) == 3
+        assert len(m.indices) == 1
+        np.testing.assert_allclose(m.normals[0], [0, 0, 1], atol=1e-6)
+
+    def test_obj_quad_triangulation(self, tmp_path):
+        p = tmp_path / "quad.obj"
+        p.write_text("v 0 0 0\nv 1 0 0\nv 1 1 0\nv 0 1 0\nf 1 2 3 4\n")
+        m = meshlib.load_obj(p)
+        assert len(m.indices) == 2
