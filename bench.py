@@ -35,10 +35,12 @@ def main():
     cfg.tpu.max_bodies = n_objects + 16
     cfg.tpu.max_contacts = 1024
     cfg.tpu.voxel_grid_size = 32
-    cfg.tpu.render_width = 480
-    cfg.tpu.render_height = 270
+    cfg.tpu.render_width = int(os.environ.get("BENCH_WIDTH", "320"))
+    cfg.tpu.render_height = int(os.environ.get("BENCH_HEIGHT", "180"))
     cfg.tpu.solver_mode = "jacobi"
     cfg.physics.simulator.initial_time_step_duration = 0.005
+    cfg.rendering.shadow_mapping.omnidirectional_light_shadow_map_resolution = 128
+    cfg.rendering.shadow_mapping.unidirectional_light_shadow_map_resolution = 128
 
     world = voxel_box_tumbler(n_boxes=n_objects - 2, seed=3)
     build = compile_scene(world, cfg)
@@ -72,7 +74,8 @@ def main():
         "metric": (
             f"physics steps/sec, {n_objects} deformable voxel objects "
             f"({n_active} active voxels, {n_objects * 32**3} grid cells); "
-            f"step+render {dt_frame * 1e3:.1f} ms/frame @ 480x270"
+            f"step+render {dt_frame * 1e3:.1f} ms/frame @ "
+            f"{cfg.tpu.render_width}x{cfg.tpu.render_height}"
         ),
         "value": round(steps_per_sec, 2),
         "unit": "steps/s",

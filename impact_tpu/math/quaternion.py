@@ -10,8 +10,10 @@ polymorphic over leading batch axes, and safe under jit/vmap.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
-IDENTITY = jnp.array([0.0, 0.0, 0.0, 1.0], dtype=jnp.float32)
+# numpy constant: module import must not initialize a JAX backend
+IDENTITY = np.array([0.0, 0.0, 0.0, 1.0], dtype=np.float32)
 
 
 def identity(batch_shape=(), dtype=jnp.float32):

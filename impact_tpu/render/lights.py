@@ -18,6 +18,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..geometry.projection import perspective_projection_matrix, orthographic_projection_matrix
 from . import raster as rasterlib
@@ -59,21 +60,21 @@ def empty_light_pools(n_omni: int = 4, n_uni: int = 2) -> LightPools:
 
 # --- shadow maps ---------------------------------------------------------------
 
-CUBE_FACE_DIRS = jnp.array(
+CUBE_FACE_DIRS = np.array(
     [
         [1.0, 0.0, 0.0], [-1.0, 0.0, 0.0],
         [0.0, 1.0, 0.0], [0.0, -1.0, 0.0],
         [0.0, 0.0, 1.0], [0.0, 0.0, -1.0],
     ],
-    jnp.float32,
+    np.float32,
 )
-CUBE_FACE_UPS = jnp.array(
+CUBE_FACE_UPS = np.array(
     [
         [0.0, -1.0, 0.0], [0.0, -1.0, 0.0],
         [0.0, 0.0, 1.0], [0.0, 0.0, -1.0],
         [0.0, -1.0, 0.0], [0.0, -1.0, 0.0],
     ],
-    jnp.float32,
+    np.float32,
 )
 
 

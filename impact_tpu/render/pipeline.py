@@ -66,6 +66,10 @@ class RenderConfig(NamedTuple):
     tone_mapping: str = "ACES"
     shadows_enabled: bool = True
     sky_luminance: tuple = (0.0, 0.0, 0.0)
+    # raster triangle budget: the scene's (mostly inactive) triangle slots are
+    # compacted to this many before clipping — the render-side analog of the
+    # reference's chunk culling + indirect draws
+    max_triangles: int = 65536
 
 
 class RenderState(NamedTuple):
@@ -103,6 +107,17 @@ def render_frame(
     vm_prev = view_matrix(cam_prev)
     pm_prev = projection_matrix(cam_prev, w, h, None)
     vp_prev = pm_prev @ vm_prev
+
+    # compact active triangle slots to the raster budget (slots are mostly
+    # masked: fixed-capacity voxel meshes)
+    if scene.tri_active.shape[0] > config.max_triangles:
+        order = jnp.argsort(~scene.tri_active, stable=True)[: config.max_triangles]
+        tri_indices = scene.tri_indices[order]
+        tri_active = scene.tri_active[order]
+    else:
+        tri_indices = scene.tri_indices
+        tri_active = scene.tri_active
+    scene = scene._replace(tri_indices=tri_indices, tri_active=tri_active)
 
     hp = jnp.concatenate([scene.vert_pos, jnp.ones_like(scene.vert_pos[..., :1])], -1)
     clip = jnp.einsum("ij,vj->vi", vp, hp)

@@ -18,8 +18,9 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-NO_TRI = jnp.int32(-1)
+NO_TRI = np.int32(-1)
 
 
 class RasterTarget(NamedTuple):

@@ -1,5 +1,6 @@
 """Engine runtime (ref: engine/src — Engine, Runtime, headless run loop)."""
 
+from . import checkpoint, command
 from .engine import EngineParams, SimState, make_engine_step
 from .headless import HeadlessRuntime
 from .setup import compile_scene, render_config_from_engine_config
@@ -11,4 +12,6 @@ __all__ = [
     "compile_scene",
     "render_config_from_engine_config",
     "HeadlessRuntime",
+    "checkpoint",
+    "command",
 ]

@@ -188,9 +188,12 @@ def make_engine_step(
     max_contacts = config.tpu.max_contacts
     solver_mode = config.tpu.solver_mode
 
-    def extra_contacts(pool):
+    def extra_contacts(pool, params):
+        # probes depend only on the voxel grids, which are constant across the
+        # substeps of one engine step — extract once per step, not per substep
+        probes = extract_probes(pool, params.voxel_response)
+
         def fn(bodies, contacts):
-            probes = extract_probes(pool, params.voxel_response)
             vc = voxel_contacts(
                 pool, probes, params.phys_params.collidables,
                 bodies.position, bodies.orientation, max_contacts,
@@ -199,7 +202,7 @@ def make_engine_step(
 
         return fn
 
-    def step(sim: SimState) -> SimState:
+    def step(sim: SimState, params: EngineParams) -> SimState:
         phys, pool = sim.phys, sim.voxels
         prev_pos = phys.bodies.position
         prev_ori = phys.bodies.orientation
@@ -208,7 +211,9 @@ def make_engine_step(
         phys = physics_step(
             phys, params.phys_params, dt, n_substeps, solver_cfg,
             max_contacts, solver_mode,
-            extra_contacts_fn=extra_contacts(pool) if enable_voxel_contacts else None,
+            extra_contacts_fn=(
+                extra_contacts(pool, params) if enable_voxel_contacts else None
+            ),
         )
 
         # 2. absorption (ref task ApplyVoxelAbsorption)
@@ -220,7 +225,7 @@ def make_engine_step(
         # 3. fracturing on impact impulse (ref task ExecuteVoxelObjectFracturing)
         rng = sim.rng
         if enable_fracturing:
-            phys, pool, rng = _maybe_fracture(phys, pool, rng)
+            phys, pool, rng = _maybe_fracture(phys, pool, rng, params)
 
         # 4. split detection for one dirty object (ref: incremental split
         #    handling — one extraction per frame)
@@ -255,7 +260,7 @@ def make_engine_step(
             rng=rng,
         )
 
-    def _maybe_fracture(phys: PhysicsState, pool: VoxelObjectPool, rng):
+    def _maybe_fracture(phys: PhysicsState, pool: VoxelObjectPool, rng, params: EngineParams):
         """Fracture the voxel object with the strongest over-threshold contact
         impulse (ref: fracturing.rs:508 handle_fracturing_impacts consuming
         cached collision impulses)."""

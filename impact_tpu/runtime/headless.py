@@ -39,21 +39,32 @@ class HeadlessRuntime:
         self.config = config
         self.registry = registry or default_registry()
         self.sim = build.sim
+        self._initial_sim = build.sim  # for reset_world (ref: ResetWorld command)
         self.params = build.params
         self.info = build.info
-        self.render_config = render_config_from_engine_config(config)
         self.metrics = EngineMetrics()
         self.timer = TaskTimer()
-
-        step_fn = make_engine_step(
-            self.params, config,
-            build.info["mesh_vert_cap"], build.info["mesh_tri_cap"],
+        self.paused = False
+        self._features = dict(
             enable_absorption=enable_absorption,
             enable_splitting=enable_splitting,
             enable_fracturing=enable_fracturing,
         )
-        self._step = jax.jit(step_fn)
+        self.command_queue = None  # created lazily by enqueue_command
+        self.invalidate_step()
+        self.invalidate_render()
 
+    # --- (re)build jit closures (ref: runtime mutation via admin commands) ---
+    def invalidate_step(self):
+        step_fn = make_engine_step(
+            self.params, self.config,
+            self.info["mesh_vert_cap"], self.info["mesh_tri_cap"],
+            **self._features,
+        )
+        self._step = jax.jit(step_fn)  # step(sim, params)
+
+    def invalidate_render(self):
+        self.render_config = render_config_from_engine_config(self.config)
         params = self.params
         registry_ = self.registry
         rc = self.render_config
@@ -73,11 +84,45 @@ class HeadlessRuntime:
 
         self._render = jax.jit(render)
 
+    # --- commands / checkpoint / reset ---------------------------------------
+    def enqueue_command(self, category: str, action: str, value=None):
+        from .command import Command, CommandQueue
+
+        if self.command_queue is None:
+            self.command_queue = CommandQueue()
+        self.command_queue.enqueue(Command(category, action, value))
+
+    def apply_commands(self):
+        """Drain queued commands (runs automatically at each step batch)."""
+        if self.command_queue is not None:
+            from .command import execute_commands
+
+            execute_commands(self, self.command_queue)
+
+    def reset_world(self):
+        """Restore the initial scene state (ref: SystemAdminCommand::ResetWorld,
+        engine/src/command.rs:52-55)."""
+        self.sim = self._initial_sim
+
+    def save_checkpoint(self, path, metadata=None):
+        from .checkpoint import save_checkpoint
+
+        return save_checkpoint(path, self.sim, metadata)
+
+    def load_checkpoint(self, path):
+        from .checkpoint import load_checkpoint
+
+        self.sim, meta = load_checkpoint(path, self.sim)
+        return meta
+
     def step(self, n: int = 1):
         """Advance the simulation ``n`` frames (no rendering)."""
+        self.apply_commands()
+        if self.paused:
+            return self.sim
         with self.timer.time("step", block_on=None):
             for _ in range(n):
-                self.sim = self._step(self.sim)
+                self.sim = self._step(self.sim, self.params)
             jax.block_until_ready(self.sim)
         return self.sim
 

@@ -20,13 +20,14 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..math import quaternion as quat
 from ..physics.collision import CollidablePools, ContactBuffer, compact_contacts
 from .object import VoxelObjectPool, surface_mask, occupancy, voxel_positions_local
 
 PROBE_BLOCK = 4  # ref: collidable.rs:85 probe per 4³ block
-VOXEL_KEY_BASE = jnp.uint32(0x40000000)
+VOXEL_KEY_BASE = np.uint32(0x40000000)
 
 
 class VoxelProbes(NamedTuple):

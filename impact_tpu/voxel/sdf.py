@@ -206,3 +206,42 @@ def evaluate(node, p):
         )
         return d + n * node["amplitude"]
     raise ValueError(f"unknown SDF node kind {kind!r}")
+
+
+# --- graph (de)serialization (ref: apps/voxel_generator graph save/load,
+#     editor/meta/io.rs) -----------------------------------------------------
+
+_KNOWN_KINDS = {
+    "sphere", "box", "capsule", "translation", "rotation", "scaling",
+    "union", "subtraction", "intersection", "multifractal_noise",
+}
+
+
+def validate(node):
+    """Validate a graph dict; raises ValueError on unknown kinds/fields."""
+    if not isinstance(node, dict) or "kind" not in node:
+        raise ValueError(f"not an SDF node: {node!r}")
+    kind = node["kind"]
+    if kind not in _KNOWN_KINDS:
+        raise ValueError(f"unknown SDF node kind {kind!r}")
+    for child in node.get("children", []):
+        validate(child)
+    if "child" in node:
+        validate(node["child"])
+    return node
+
+
+def save_graph(path, node):
+    """Write a graph to JSON (the voxel_generator analog's file format)."""
+    import json
+
+    validate(node)
+    with open(path, "w", encoding="utf-8") as f:
+        json.dump(node, f, indent=2)
+
+
+def load_graph(path):
+    import json
+
+    with open(path, "r", encoding="utf-8") as f:
+        return validate(json.load(f))
