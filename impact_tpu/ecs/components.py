@@ -435,3 +435,36 @@ class FracturingProperties:
 
     impulse_threshold: float = 100.0
     fracture_radius: float = 4.0
+
+
+@component(setup=True)
+class FixedDirectionAlignmentTorque:
+    """Torque aligning a body-fixed axis with a fixed world direction
+    (ref: force/alignment_torque.rs:70 FixedDirectionAlignmentTorque)."""
+
+    axis: ("f32", 3) = (0.0, 1.0, 0.0)
+    direction: ("f32", 3) = (0.0, 1.0, 0.0)
+    strength: float = 1.0
+    damping: float = 0.1
+
+
+@component
+class VoxelAbsorbingCapsule:
+    """Capsule that absorbs voxels, in the entity's frame
+    (ref: interaction/absorption.rs VoxelAbsorbingCapsule)."""
+
+    segment_start: ("f32", 3) = (0.0, -0.5, 0.0)
+    segment_end: ("f32", 3) = (0.0, 0.5, 0.0)
+    radius: float = 1.0
+    rate: float = 1.0
+
+
+@component(setup=True)
+class SphericalJoint:
+    """Ball joint constraining two body-frame anchor points to coincide
+    (ref: impact_physics/src/constraint/spherical_joint.rs + anchor.rs)."""
+
+    entity_a: ("u64", ()) = 0
+    entity_b: ("u64", ()) = 0
+    anchor_a: ("f32", 3) = (0.0, 0.0, 0.0)
+    anchor_b: ("f32", 3) = (0.0, 0.0, 0.0)

@@ -47,6 +47,14 @@ class ForcePools(NamedTuple):
     # Dynamic N-body gravity (ref: force/dynamic_gravity.rs)
     gravity_participant: jnp.ndarray  # bool[N] per body
     gravitational_constant: jnp.ndarray  # f32 scalar
+    # Alignment torque: aligns a body-fixed axis with a world direction
+    # (ref: force/alignment_torque.rs FixedDirectionAlignmentTorque)
+    align_body: jnp.ndarray  # i32[Ct]
+    align_axis: jnp.ndarray  # f32[Ct,3] body-frame axis to align
+    align_target: jnp.ndarray  # f32[Ct,3] world target direction
+    align_strength: jnp.ndarray  # f32[Ct]
+    align_damping: jnp.ndarray  # f32[Ct]
+    align_mask: jnp.ndarray  # bool[Ct]
     # Quadratic drag vs the uniform medium (simplified analytic stand-in for
     # the reference's precomputed DragLoadMap; ref: force/detailed_drag.rs)
     drag_coef: jnp.ndarray  # f32[N] per body (0 = no drag)
@@ -56,7 +64,8 @@ class ForcePools(NamedTuple):
 
 
 def empty_force_pools(
-    n_bodies: int, cap_accel: int = 64, cap_local: int = 16, cap_springs: int = 64
+    n_bodies: int, cap_accel: int = 64, cap_local: int = 16, cap_springs: int = 64,
+    cap_align: int = 16,
 ) -> ForcePools:
     z3 = lambda c: jnp.zeros((c, 3), jnp.float32)  # noqa: E731
     return ForcePools(
@@ -75,6 +84,12 @@ def empty_force_pools(
         spring_damping=jnp.zeros(cap_springs, jnp.float32),
         spring_rest_length=jnp.zeros(cap_springs, jnp.float32),
         spring_mask=jnp.zeros(cap_springs, bool),
+        align_body=jnp.zeros(cap_align, jnp.int32),
+        align_axis=jnp.tile(jnp.array([[0.0, 1.0, 0.0]], jnp.float32), (cap_align, 1)),
+        align_target=jnp.tile(jnp.array([[0.0, 1.0, 0.0]], jnp.float32), (cap_align, 1)),
+        align_strength=jnp.zeros(cap_align, jnp.float32),
+        align_damping=jnp.zeros(cap_align, jnp.float32),
+        align_mask=jnp.zeros(cap_align, bool),
         gravity_participant=jnp.zeros(n_bodies, bool),
         gravitational_constant=jnp.asarray(6.674e-11, jnp.float32),
         drag_coef=jnp.zeros(n_bodies, jnp.float32),
@@ -131,6 +146,18 @@ def apply_forces_and_torques(bodies: BodyState, pools: ForcePools) -> BodyState:
     force = force.at[ib].add(-f_on_a)
     torque = torque.at[ia].add(jnp.cross(ra, f_on_a))
     torque = torque.at[ib].add(jnp.cross(rb, -f_on_a))
+
+    # alignment torque: τ = k · (R·axis × target) − c·ω (ref: alignment_torque.rs)
+    ab = pools.align_body
+    axis_w = quat.rotate(bodies.orientation[ab], pools.align_axis)
+    tgt = pools.align_target / jnp.maximum(
+        jnp.linalg.norm(pools.align_target, axis=-1, keepdims=True), 1e-9
+    )
+    t_align = (
+        pools.align_strength[:, None] * jnp.cross(axis_w, tgt)
+        - pools.align_damping[:, None] * ang_vel[ab]
+    ) * pools.align_mask[:, None]
+    torque = torque.at[ab].add(t_align)
 
     # dynamic N-body gravity: pairwise masked O(N²) (ref: dynamic_gravity.rs)
     gp = pools.gravity_participant & bodies.alive

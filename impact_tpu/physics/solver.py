@@ -383,3 +383,129 @@ def solve_contacts(
         position=bodies.position[ib] + prep.disp_b,
     )
     return bodies, cache
+
+
+# --- spherical joints (ref: impact_physics/src/constraint/spherical_joint.rs) --
+
+
+class JointPools(NamedTuple):
+    """Ball joints: body-frame anchors that must coincide."""
+
+    body_a: jnp.ndarray  # i32[J]
+    body_b: jnp.ndarray  # i32[J]
+    anchor_a: jnp.ndarray  # f32[J,3] body frame
+    anchor_b: jnp.ndarray  # f32[J,3]
+    mask: jnp.ndarray  # bool[J]
+
+
+def empty_joint_pools(cap: int = 16) -> JointPools:
+    return JointPools(
+        body_a=jnp.zeros(cap, jnp.int32),
+        body_b=jnp.zeros(cap, jnp.int32),
+        anchor_a=jnp.zeros((cap, 3), jnp.float32),
+        anchor_b=jnp.zeros((cap, 3), jnp.float32),
+        mask=jnp.zeros(cap, bool),
+    )
+
+
+def _skew(v):
+    zero = jnp.zeros_like(v[..., 0])
+    return jnp.stack(
+        [
+            jnp.stack([zero, -v[..., 2], v[..., 1]], -1),
+            jnp.stack([v[..., 2], zero, -v[..., 0]], -1),
+            jnp.stack([-v[..., 1], v[..., 0], zero], -1),
+        ],
+        -2,
+    )
+
+
+def solve_joints(bodies: BodyState, joints: JointPools, config: ConstraintSolverConfig):
+    """Velocity + positional solve for ball joints (3D unclamped impulses,
+    matching the prepared-spherical-joint semantics: anchors coincide).
+
+    Run after contact solving each step; joint counts are small so a few
+    vectorized Jacobi iterations converge.
+    """
+    if joints is None or joints.mask.shape[0] == 0:
+        return bodies
+    from .state import compute_velocities, synchronize_momenta
+
+    v, w = compute_velocities(bodies)
+    inv_inertia = world_inv_inertia(bodies)
+    inv_mass = bodies.inv_mass
+    ia, ib = joints.body_a, joints.body_b
+    act = joints.mask
+
+    def anchors(pos, ori):
+        pa = pos[ia] + quat.rotate(ori[ia], joints.anchor_a)
+        pb = pos[ib] + quat.rotate(ori[ib], joints.anchor_b)
+        return pa, pb
+
+    def k_inv(pos, ori):
+        pa, pb = anchors(pos, ori)
+        ra = pa - pos[ia]
+        rb = pb - pos[ib]
+        sa, sb = _skew(ra), _skew(rb)
+        k = (
+            (inv_mass[ia] + inv_mass[ib])[:, None, None] * jnp.eye(3)
+            + jnp.einsum("jik,jkl,jml->jim", sa, inv_inertia[ia], sa)
+            + jnp.einsum("jik,jkl,jml->jim", sb, inv_inertia[ib], sb)
+        )
+        return jnp.linalg.inv(k + jnp.eye(3) * 1e-9), ra, rb
+
+    kinv, ra, rb = k_inv(bodies.position, bodies.orientation)
+
+    def vel_iter(_, state):
+        v, w = state
+        va = v[ia] + jnp.cross(w[ia], ra)
+        vb = v[ib] + jnp.cross(w[ib], rb)
+        imp = -jnp.einsum("jik,jk->ji", kinv, va - vb) * act[:, None]
+        v = v.at[ia].add(inv_mass[ia, None] * imp)
+        v = v.at[ib].add(-inv_mass[ib, None] * imp)
+        w = w.at[ia].add(jnp.einsum("jik,jk->ji", inv_inertia[ia], jnp.cross(ra, imp)))
+        w = w.at[ib].add(-jnp.einsum("jik,jk->ji", inv_inertia[ib], jnp.cross(rb, imp)))
+        return v, w
+
+    v, w = jax.lax.fori_loop(0, config.n_iterations, vel_iter, (v, w))
+
+    # positional correction: pull anchors together by the configured factor
+    pos, ori = bodies.position, bodies.orientation
+
+    def pos_iter(_, state):
+        pos, ori = state
+        kinv_c, ra_c, rb_c = k_inv(pos, ori)
+        pa, pb = anchors(pos, ori)
+        err = pa - pb
+        pseudo = -jnp.einsum("jik,jk->ji", kinv_c, err) * (
+            config.positional_correction_factor * act
+        )[:, None]
+        pos = pos.at[ia].add(inv_mass[ia, None] * pseudo)
+        pos = pos.at[ib].add(-inv_mass[ib, None] * pseudo)
+        dwa = jnp.einsum("jik,jk->ji", inv_inertia[ia], jnp.cross(ra_c, pseudo))
+        dwb = -jnp.einsum("jik,jk->ji", inv_inertia[ib], jnp.cross(rb_c, pseudo))
+        ori = ori.at[ia].set(
+            quat.integrate_angular_velocity(ori[ia], dwa * act[:, None], 1.0)
+        )
+        ori = ori.at[ib].set(
+            quat.integrate_angular_velocity(ori[ib], dwb * act[:, None], 1.0)
+        )
+        return pos, ori
+
+    pos, ori = jax.lax.fori_loop(
+        0, config.n_positional_correction_iterations, pos_iter, (pos, ori)
+    )
+
+    part = jnp.zeros(bodies.n, bool).at[ia].max(act).at[ib].max(act)
+    pm = part[:, None]
+    bodies = bodies._replace(
+        position=jnp.where(pm, pos, bodies.position),
+        orientation=jnp.where(pm, ori, bodies.orientation),
+    )
+    synced = synchronize_momenta(bodies, v, w)
+    return bodies._replace(
+        momentum=jnp.where(pm, synced.momentum, bodies.momentum),
+        angular_momentum=jnp.where(pm, synced.angular_momentum, bodies.angular_momentum),
+        velocity=jnp.where(pm, v, bodies.velocity),
+        angular_velocity=jnp.where(pm, w, bodies.angular_velocity),
+    )

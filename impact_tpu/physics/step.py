@@ -28,7 +28,14 @@ from . import state as body_state
 from .collision import CollidablePools, narrow_phase, synchronize_collidables
 from .driven_motion import MotionDriverPools, apply_motion_drivers
 from .forces import ForcePools, apply_forces_and_torques
-from .solver import SolverCache, prepare_contacts, solve_contacts
+from .solver import (
+    JointPools,
+    SolverCache,
+    empty_joint_pools,
+    prepare_contacts,
+    solve_contacts,
+    solve_joints,
+)
 from .state import BodyState
 
 
@@ -47,6 +54,7 @@ class PhysicsParams(NamedTuple):
     collidables: CollidablePools
     forces: ForcePools
     drivers: MotionDriverPools
+    joints: JointPools
 
 
 def physics_substep(
@@ -76,9 +84,12 @@ def physics_substep(
     # 3. advance momenta from forces accumulated at the end of the previous substep
     bodies = body_state.advance_momenta(bodies, dt)
 
-    # 4. solve constraints
+    # 4. solve constraints (contacts, then spherical joints — the reference
+    #    interleaves both kinds each iteration; sequential composition keeps
+    #    the same fixed point for the small joint counts here)
     if solver_config.enabled:
         bodies, cache = solve_contacts(bodies, prepared, solver_config, mode=solver_mode)
+        bodies = solve_joints(bodies, params.joints, solver_config)
     else:
         cache = phys.solver_cache
 

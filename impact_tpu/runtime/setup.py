@@ -26,6 +26,7 @@ from ..physics import inertia as analytic_inertia
 from ..physics.collision import empty_collidable_pools
 from ..physics.driven_motion import empty_motion_driver_pools
 from ..physics.forces import apply_forces_and_torques, empty_force_pools
+from ..physics.solver import empty_joint_pools
 from ..render import Camera, empty_light_pools, look_at
 from ..scene.assembly import empty_static_geometry
 from ..scene.materials import VoxelTypeRegistry, default_registry
@@ -119,6 +120,7 @@ def compile_scene(
     drivers = _staged(empty_motion_driver_pools())
     lights = _staged(empty_light_pools(4, 2))
     absorbers = _staged(empty_absorber_pools())
+    joints = _staged(empty_joint_pools())
     pool = _staged(empty_voxel_object_pool(o_max, g))
     pool = pool._replace(
         body_index=(np.arange(o_max, dtype=np.int32) + voxel_body_offset).view(_MutArray)
@@ -140,7 +142,8 @@ def compile_scene(
     ground_planes: list[float] = []
     cursor = {"body": 0, "sphere": 0, "plane": 0, "capsule": 0, "accel": 0,
               "local": 0, "spring": 0, "omni": 0, "uni": 0, "absorb": 0,
-              "voxel": 0, "circ": 0, "lin": 0, "rot": 0, "osc": 0, "orb": 0}
+              "voxel": 0, "circ": 0, "lin": 0, "rot": 0, "osc": 0, "orb": 0,
+              "align": 0, "absorb_cap": 0, "joint": 0}
     entity_body: dict[int, int] = {}
     info = {"voxel_objects": [], "bodies": {}}
 
@@ -330,6 +333,8 @@ def compile_scene(
             or world.has_component(eid, C.PlanarCollidable)
             or world.has_component(eid, C.CapsularCollidable)
             or world.has_component(eid, C.VoxelAbsorbingSphere)
+            or world.has_component(eid, C.VoxelAbsorbingCapsule)
+            or world.has_component(eid, C.FixedDirectionAlignmentTorque)
         )
         if not needs_body:
             continue
@@ -483,6 +488,18 @@ def compile_scene(
                 orb_mask=dr.orb_mask.at[j].set(True),
             )
 
+        if world.has_component(eid, C.FixedDirectionAlignmentTorque):
+            at = world.get_component(eid, C.FixedDirectionAlignmentTorque)
+            j = cursor["align"]; cursor["align"] += 1
+            forces = forces._replace(
+                align_body=forces.align_body.at[j].set(bi),
+                align_axis=forces.align_axis.at[j].set(jnp.asarray(at.axis)),
+                align_target=forces.align_target.at[j].set(jnp.asarray(at.direction)),
+                align_strength=forces.align_strength.at[j].set(at.strength),
+                align_damping=forces.align_damping.at[j].set(at.damping),
+                align_mask=forces.align_mask.at[j].set(True),
+            )
+
         # absorbers
         if world.has_component(eid, C.VoxelAbsorbingSphere):
             ab = world.get_component(eid, C.VoxelAbsorbingSphere)
@@ -493,6 +510,32 @@ def compile_scene(
                 sph_radius=absorbers.sph_radius.at[j].set(ab.radius),
                 sph_rate=absorbers.sph_rate.at[j].set(ab.rate),
                 sph_mask=absorbers.sph_mask.at[j].set(True),
+            )
+        if world.has_component(eid, C.VoxelAbsorbingCapsule):
+            ab = world.get_component(eid, C.VoxelAbsorbingCapsule)
+            j = cursor["absorb_cap"]; cursor["absorb_cap"] += 1
+            absorbers = absorbers._replace(
+                cap_body=absorbers.cap_body.at[j].set(bi),
+                cap_start=absorbers.cap_start.at[j].set(jnp.asarray(ab.segment_start)),
+                cap_end=absorbers.cap_end.at[j].set(jnp.asarray(ab.segment_end)),
+                cap_radius=absorbers.cap_radius.at[j].set(ab.radius),
+                cap_rate=absorbers.cap_rate.at[j].set(ab.rate),
+                cap_mask=absorbers.cap_mask.at[j].set(True),
+            )
+        world.strip_setup_components(eid)
+
+    # --- pass 2.5: joints (need both bodies resolved) ---------------------------
+    for eid in world.entities_with(C.SphericalJoint):
+        sj = world.get_component(eid, C.SphericalJoint)
+        ea, eb = int(sj.entity_a), int(sj.entity_b)
+        if ea in entity_body and eb in entity_body:
+            j = cursor["joint"]; cursor["joint"] += 1
+            joints = joints._replace(
+                body_a=joints.body_a.at[j].set(entity_body[ea]),
+                body_b=joints.body_b.at[j].set(entity_body[eb]),
+                anchor_a=joints.anchor_a.at[j].set(jnp.asarray(sj.anchor_a)),
+                anchor_b=joints.anchor_b.at[j].set(jnp.asarray(sj.anchor_b)),
+                mask=joints.mask.at[j].set(True),
             )
         world.strip_setup_components(eid)
 
@@ -558,12 +601,15 @@ def compile_scene(
     drivers = _committed(drivers)
     lights = _committed(lights)
     absorbers = _committed(absorbers)
+    joints = _committed(joints)
     pool = _committed(pool)
 
     phys = phys._replace(bodies=apply_forces_and_torques(bodies, forces))
 
     params = EngineParams(
-        phys_params=PhysicsParams(collidables=coll, forces=forces, drivers=drivers),
+        phys_params=PhysicsParams(
+            collidables=coll, forces=forces, drivers=drivers, joints=joints
+        ),
         lights=lights,
         absorbers=absorbers,
         type_density=registry.mass_density,

@@ -43,6 +43,13 @@ class AbsorberPools(NamedTuple):
     sph_radius: jnp.ndarray  # f32[A]
     sph_rate: jnp.ndarray  # f32[A] absorption rate (units of sdf shift/step)
     sph_mask: jnp.ndarray  # bool[A]
+    # absorbing capsules (ref: absorption.rs VoxelAbsorbingCapsule)
+    cap_body: jnp.ndarray  # i32[A]
+    cap_start: jnp.ndarray  # f32[A,3] segment start in parent frame
+    cap_end: jnp.ndarray  # f32[A,3]
+    cap_radius: jnp.ndarray  # f32[A]
+    cap_rate: jnp.ndarray  # f32[A]
+    cap_mask: jnp.ndarray  # bool[A]
 
 
 def empty_absorber_pools(cap: int = 8) -> AbsorberPools:
@@ -52,6 +59,12 @@ def empty_absorber_pools(cap: int = 8) -> AbsorberPools:
         sph_radius=jnp.ones(cap, jnp.float32),
         sph_rate=jnp.ones(cap, jnp.float32),
         sph_mask=jnp.zeros(cap, bool),
+        cap_body=jnp.zeros(cap, jnp.int32),
+        cap_start=jnp.zeros((cap, 3), jnp.float32),
+        cap_end=jnp.zeros((cap, 3), jnp.float32),
+        cap_radius=jnp.ones(cap, jnp.float32),
+        cap_rate=jnp.ones(cap, jnp.float32),
+        cap_mask=jnp.zeros(cap, bool),
     )
 
 
@@ -93,6 +106,24 @@ def apply_absorption(
     )
     d = jnp.where(absorbers.sph_mask[None, None, None, None, :], d, jnp.inf)
     d_abs = jnp.min(d, axis=-1)  # [O,G,G,G]
+
+    # absorbing capsules (world-space segments)
+    from ..geometry.primitives import capsule_sdf
+
+    a_w = body_position[absorbers.cap_body] + quat.rotate(
+        body_orientation[absorbers.cap_body], absorbers.cap_start
+    )
+    b_w = body_position[absorbers.cap_body] + quat.rotate(
+        body_orientation[absorbers.cap_body], absorbers.cap_end
+    )
+    d_cap = capsule_sdf(
+        a_w[None, None, None, None, :, :],
+        b_w[None, None, None, None, :, :],
+        absorbers.cap_radius[None, None, None, None, :],
+        pos_world[:, :, :, :, None, :],
+    )
+    d_cap = jnp.where(absorbers.cap_mask[None, None, None, None, :], d_cap, jnp.inf)
+    d_abs = jnp.minimum(d_abs, jnp.min(d_cap, axis=-1))
 
     new_sdf = jnp.maximum(pool.sdf, -d_abs)
     changed = jnp.any(jnp.abs(new_sdf - pool.sdf) > 1e-7, axis=(1, 2, 3))

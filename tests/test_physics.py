@@ -25,10 +25,13 @@ MAX_CONTACTS = 32
 
 def make_scene():
     phys = init_physics_state(N_BODIES, MAX_CONTACTS)
+    from impact_tpu.physics.solver import empty_joint_pools
+
     params = PhysicsParams(
         collidables=empty_collidable_pools(n_spheres=8, n_planes=2, n_capsules=4),
         forces=empty_force_pools(N_BODIES),
         drivers=empty_motion_driver_pools(),
+        joints=empty_joint_pools(4),
     )
     return phys, params
 
@@ -345,3 +348,37 @@ class TestInertia:
     def test_capsule_mass_volume(self):
         m = inr.capsule_mass(jnp.asarray(1.0), jnp.asarray(1.0), jnp.asarray(0.0))
         np.testing.assert_allclose(m, 4.0 / 3.0 * np.pi, rtol=1e-5)
+
+
+class TestJoints:
+    def test_spherical_joint_holds_bodies_together(self):
+        from impact_tpu.physics.solver import solve_joints  # noqa: F401
+
+        phys, params = make_scene()
+        phys, params = add_dynamic_sphere(phys, params, 0, (0.0, 2.0, 0.0), gravity=True)
+        # body 7 kinematic anchor point at origin+3 up
+        phys = enable_kinematic(phys, 7)
+        b = phys.bodies
+        phys = phys._replace(bodies=b._replace(
+            position=b.position.at[7].set(jnp.array([0.0, 3.0, 0.0]))
+        ))
+        j = params.joints
+        j = j._replace(
+            body_a=j.body_a.at[0].set(0),
+            body_b=j.body_b.at[0].set(7),
+            anchor_a=j.anchor_a.at[0].set(jnp.array([0.0, 1.0, 0.0])),
+            anchor_b=j.anchor_b.at[0].set(jnp.array([0.0, 0.0, 0.0])),
+            mask=j.mask.at[0].set(True),
+        )
+        params = params._replace(joints=j)
+        phys = run_steps(phys, params, 400)
+        # pendulum: body's anchor (1 above its COM) must stay at the pivot (0,3,0)
+        from impact_tpu.math import quaternion as quat
+
+        anchor_world = np.asarray(
+            phys.bodies.position[0]
+            + quat.rotate(phys.bodies.orientation[0], jnp.array([0.0, 1.0, 0.0]))
+        )
+        np.testing.assert_allclose(anchor_world, [0.0, 3.0, 0.0], atol=0.05)
+        # and the body hangs below the pivot, still moving or settled but finite
+        assert np.isfinite(np.asarray(phys.bodies.position[0])).all()
