@@ -18,7 +18,15 @@ import os
 import pathlib
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+
+import jax  # noqa: E402
+
+try:  # force CPU: deterministic across environments (env vars may be pinned)
+    jax.config.update("jax_platforms", "cpu")
+except RuntimeError:
+    pass
 
 SNAPSHOT_DIR = pathlib.Path(__file__).parent / "snapshots" / "reference"
 MIN_SCORE_TO_PASS = 0.93

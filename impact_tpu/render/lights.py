@@ -100,8 +100,11 @@ def render_omni_shadow_cubemap(
     """6-face depth cubemap for one point light (ref: omni shadow map update
     pass, 6 faces per light). Returns (depths [6,S,S], view_projs [6,4,4])."""
 
+    face_dirs = jnp.asarray(CUBE_FACE_DIRS)
+    face_ups = jnp.asarray(CUBE_FACE_UPS)
+
     def face(i):
-        view = _look_view_matrix(light_pos, CUBE_FACE_DIRS[i], CUBE_FACE_UPS[i])
+        view = _look_view_matrix(light_pos, face_dirs[i], face_ups[i])
         proj = perspective_projection_matrix(1.0, jnp.pi / 2, near, far)
         vp = proj @ view
         hp = jnp.concatenate(

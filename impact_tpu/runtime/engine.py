@@ -308,9 +308,12 @@ def make_engine_step(
         return jax.lax.cond(any_exceed, do, lambda a: a, (phys, pool, rng))
 
     def _maybe_split(phys: PhysicsState, pool: VoxelObjectPool):
-        dirty_split = pool.mesh_dirty & pool.alive
-        any_candidate = jnp.any(dirty_split)
-        obj = jnp.argmax(dirty_split)
+        # one connectivity check per step on the first pending object; the
+        # pending flag persists across steps until CCL confirms connectivity
+        # (the reference processes splits incrementally too)
+        candidates = pool.split_pending & pool.alive
+        any_candidate = jnp.any(candidates)
+        obj = jnp.argmax(candidates)
         free = ~pool.alive
         free_slot = jnp.where(jnp.any(free), jnp.argmax(free), -1)
 
@@ -323,6 +326,10 @@ def make_engine_step(
             ].set(did)
             phys2 = _inherit_fragment_motion(
                 phys, pool2, pool.body_index[obj], new_mask
+            )
+            # connected (no split) → this object's check is complete
+            pool2 = pool2._replace(
+                split_pending=pool2.split_pending.at[obj].set(did)
             )
             return phys2, pool2
 

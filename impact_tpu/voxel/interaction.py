@@ -127,9 +127,11 @@ def apply_absorption(
 
     new_sdf = jnp.maximum(pool.sdf, -d_abs)
     changed = jnp.any(jnp.abs(new_sdf - pool.sdf) > 1e-7, axis=(1, 2, 3))
+    changed = changed & pool.alive
     return pool._replace(
         sdf=jnp.where(pool.alive[:, None, None, None], new_sdf, pool.sdf),
-        mesh_dirty=pool.mesh_dirty | (changed & pool.alive),
+        mesh_dirty=pool.mesh_dirty | changed,
+        split_pending=pool.split_pending | changed,
     )
 
 
@@ -214,6 +216,10 @@ def split_off_disconnected_region(pool: VoxelObjectPool, obj_index, free_slot):
 
     slot = jnp.maximum(free_slot, 0)
     pool = pool._replace(
+        split_pending=pool.split_pending.at[obj_index]
+        .set(jnp.where(can, True, pool.split_pending[obj_index]))
+        .at[slot]
+        .set(jnp.where(can, True, pool.split_pending[slot])),
         sdf=pool.sdf.at[obj_index].set(jnp.where(can, new_src_sdf, src_sdf)).at[
             slot
         ].set(jnp.where(can, new_dst_sdf, pool.sdf[slot])),
@@ -313,7 +319,8 @@ def fracture_object(
 
     sdf_all = sdf_all.at[obj_index].set(new_src)
     dirty = dirty.at[obj_index].set(True)
+    pending = pool.split_pending | (dirty & alive)
     return pool._replace(
         sdf=sdf_all, vtype=vt_all, alive=alive, mesh_dirty=dirty,
-        origin=origin, voxel_extent=extent,
+        split_pending=pending, origin=origin, voxel_extent=extent,
     )

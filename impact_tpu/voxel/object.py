@@ -42,6 +42,10 @@ class VoxelObjectPool(NamedTuple):
     sdf: jnp.ndarray  # f32[O,G,G,G] signed distance (world units)
     vtype: jnp.ndarray  # i32[O,G,G,G] material index
     mesh_dirty: jnp.ndarray  # bool[O] re-mesh needed
+    split_pending: jnp.ndarray  # bool[O] connectivity re-check needed
+    # (mesh_dirty clears after remesh each step; split_pending persists until
+    # CCL confirms the object is connected — the reference's incremental
+    # split-detection bookkeeping, split_detection.rs)
 
     @property
     def n_objects(self) -> int:
@@ -62,6 +66,7 @@ def empty_voxel_object_pool(n_objects: int, grid_size: int) -> VoxelObjectPool:
         sdf=jnp.full((n_objects, g, g, g), 1e3, jnp.float32),
         vtype=jnp.zeros((n_objects, g, g, g), jnp.int32),
         mesh_dirty=jnp.zeros(n_objects, bool),
+        split_pending=jnp.zeros(n_objects, bool),
     )
 
 
