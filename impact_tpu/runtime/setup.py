@@ -432,8 +432,21 @@ def compile_scene(
             )
         if world.has_component(eid, C.DetailedDrag):
             dd = world.get_component(eid, C.DetailedDrag)
+            # reference area from the collidable shape (the analytic stand-in
+            # for the reference's per-shape DragLoadMap, force/detailed_drag.rs)
+            area = 1.0
+            if world.has_component(eid, C.SphericalCollidable):
+                r = world.get_component(eid, C.SphericalCollidable).radius
+                area = float(np.pi * r * r)
+            elif world.has_component(eid, C.CapsularCollidable):
+                cc2 = world.get_component(eid, C.CapsularCollidable)
+                seg = float(np.linalg.norm(
+                    np.asarray(cc2.segment_end) - np.asarray(cc2.segment_start)
+                ))
+                area = float(2 * cc2.radius * seg + np.pi * cc2.radius**2)
             forces = forces._replace(
-                drag_coef=forces.drag_coef.at[bi].set(dd.drag_coefficient)
+                drag_coef=forces.drag_coef.at[bi].set(dd.drag_coefficient),
+                drag_area=forces.drag_area.at[bi].set(area),
             )
 
         # motion drivers
