@@ -29,7 +29,7 @@ def main():
     # ~1M active voxels: 32 objects × (10-voxel boxes in 32³ grids) is sparse;
     # use 16 objects of 26³ solid boxes ≈ 280k solid voxels in 32³ grids
     # (1.05M more voxel cells processed per step: 32 objects × 32³ grid cells).
-    n_objects = int(os.environ.get("BENCH_OBJECTS", "32"))
+    n_objects = int(os.environ.get("BENCH_OBJECTS", "48"))
     cfg = EngineConfig()
     cfg.tpu.max_voxel_objects = n_objects
     cfg.tpu.max_bodies = n_objects + 16
@@ -42,7 +42,15 @@ def main():
     cfg.rendering.shadow_mapping.omnidirectional_light_shadow_map_resolution = 128
     cfg.rendering.shadow_mapping.unidirectional_light_shadow_map_resolution = 128
 
-    world = voxel_box_tumbler(n_boxes=n_objects - 2, seed=3)
+    world = voxel_box_tumbler(n_boxes=max(1, n_objects - 2), seed=3)
+    # scale the boxes up to fill the 32³ grids (~22k solid voxels each) so the
+    # active-voxel count approaches the 1M north-star figure
+    from impact_tpu.ecs import components as C
+
+    for eid in world.entities_with(C.VoxelBox):
+        world.set_field(eid, C.VoxelBox, "extent_x", 26.0)
+        world.set_field(eid, C.VoxelBox, "extent_y", 26.0)
+        world.set_field(eid, C.VoxelBox, "extent_z", 26.0)
     build = compile_scene(world, cfg)
     rt = HeadlessRuntime(build, cfg, enable_fracturing=False)
 
