@@ -42,14 +42,27 @@ def cmd_example(path):
     print(f"wrote {path}")
 
 
+def _load_any_graph(path, seed=0):
+    """Load an atomic OR meta graph JSON; meta graphs lower with ``seed``."""
+    import json
+
+    from impact_tpu.voxel import meta_sdf, sdf
+
+    with open(path, "r", encoding="utf-8") as f:
+        node = json.load(f)
+    if isinstance(node, dict) and str(node.get("kind", "")).startswith("meta_"):
+        return meta_sdf.lower(node, seed=seed)
+    return sdf.validate(node)
+
+
 def cmd_stats(path, grid_size=48, extent=0.5):
     _force_cpu()
     import jax.numpy as jnp
 
-    from impact_tpu.voxel import sdf, generate_sdf_grid, surface_nets
+    from impact_tpu.voxel import generate_sdf_grid, surface_nets
     from impact_tpu.voxel.mesh import mesh_counts
 
-    graph = sdf.load_graph(path)
+    graph = _load_any_graph(path)
     s, origin = generate_sdf_grid(graph, grid_size, extent)
     mesh = surface_nets(s, jnp.zeros((grid_size,) * 3, jnp.int32))
     nv, nt = mesh_counts(mesh)
@@ -73,7 +86,7 @@ def cmd_preview(path, out_png, grid_size=48, extent=0.5):
     from impact_tpu.utils.image import save_png
     from impact_tpu.voxel import sdf, generate_sdf_grid, surface_nets
 
-    graph = sdf.load_graph(path)
+    graph = _load_any_graph(path)
     s, origin = generate_sdf_grid(graph, grid_size, extent)
     mesh = surface_nets(s, jnp.zeros((grid_size,) * 3, jnp.int32))
     verts = mesh.vert_pos * extent + origin

@@ -254,3 +254,57 @@ class TestDeformation:
         assert counts[:4].sum() == total
         assert (counts[1:4] > 0).sum() >= 1  # at least one fragment created
         assert counts[0] > 0  # source retains the out-of-radius bulk
+
+
+class TestMetaSdf:
+    def test_stratified_grid_lowers_and_evaluates(self):
+        from impact_tpu.voxel import meta_sdf as meta
+
+        g = meta.stratified_grid_transforms(
+            meta.meta_spheres(radius=meta.uniform(0.5, 1.0)),
+            shape=(2, 2, 2), cell_size=3.0, jitter=0.3,
+        )
+        graph = meta.lower(g, seed=1)
+        s, _ = generate_sdf_grid(graph, G, 0.5)
+        n = int((s < 0).sum())
+        assert n > 100  # eight spheres materialized
+
+    def test_deterministic_by_seed(self):
+        from impact_tpu.voxel import meta_sdf as meta
+
+        g = meta.sphere_surface_transforms(
+            meta.meta_boxes(extent=meta.uniform(0.4, 1.2)),
+            count=12, sphere_radius=5.0, jitter=0.2,
+        )
+        a = meta.lower(g, seed=7)
+        b = meta.lower(g, seed=7)
+        c = meta.lower(g, seed=8)
+        assert a == b
+        assert a != c
+
+    def test_stochastic_selection_drops_instances(self):
+        from impact_tpu.voxel import meta_sdf as meta
+
+        inner = meta.stratified_grid_transforms(
+            meta.meta_spheres(radius=0.6), shape=(3, 3, 3), cell_size=2.0, jitter=0.0
+        )
+        full = meta.lower(inner, seed=0)
+        sel = meta.lower(meta.stochastic_selection(inner, keep_probability=0.4), seed=0)
+        n_full = len(meta._flatten_union(full))
+        n_sel = len(meta._flatten_union(sel))
+        assert n_sel < n_full
+
+    def test_group_union_mixes_meta_and_atomic(self):
+        from impact_tpu.voxel import meta_sdf as meta
+
+        g = meta.group_union(
+            [sdflib.sphere(4.0),
+             meta.sphere_surface_transforms(meta.meta_spheres(radius=1.0),
+                                            count=6, sphere_radius=4.0)],
+            smoothness=1.0,
+        )
+        graph = meta.lower(g, seed=0)
+        s, _ = generate_sdf_grid(graph, G, 0.5)
+        # bumpy sphere: more voxels than the plain radius-4 sphere
+        plain, _ = generate_sdf_grid(sdflib.sphere(4.0), G, 0.5)
+        assert int((s < 0).sum()) > int((plain < 0).sum())
