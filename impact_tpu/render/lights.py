@@ -224,7 +224,8 @@ def shade(
     camera_pos,  # f32[3]
     valid,  # bool[H,W] geometry coverage
     omni_shadows=None,  # optional (depths [L,6,S,S], vps [L,6,4,4])
-    uni_shadows=None,  # optional (depths [D,S,S], vps [D,4,4])
+    uni_shadows=None,  # optional (depths [D,C,S,S], vps [D,C,4,4], splits [D,C+1])
+    view_depth=None,  # f32[H,W] camera-space depth (cascade selection)
 ):
     """Deferred shading: ambient + omni + uni lights → HDR luminance [H,W,3]."""
     view_dir = camera_pos - world_pos
@@ -262,15 +263,112 @@ def shade(
     for li in range(n_uni):
         ldir = -lights.uni_direction[li]
         b = evaluate_brdf(normal, view_dir, ldir, albedo, f0, roughness)
-        vis = 1.0
         if uni_shadows is not None:
-            depths, vps = uni_shadows
+            depths, vps, splits = uni_shadows
             vis = jnp.where(
                 lights.uni_shadowable[li],
-                uni_shadow_visibility(depths[li], vps[li], world_pos),
+                uni_cascade_visibility(
+                    depths[li], vps[li], splits[li], view_depth, world_pos, normal
+                ),
                 1.0,
             )
             b = b * vis[..., None]
         lum = lum + jnp.where(lights.uni_mask[li], b * lights.uni_illuminance[li], 0.0)
 
     return jnp.where(valid[..., None], lum, 0.0)
+
+
+# --- cascaded shadow maps (ref: lib.rs:296-340 ShadowableUnidirectionalLight,
+#     MAX_SHADOW_MAP_CASCADES = 4, CascadePartitionDepths) ----------------------
+
+MAX_SHADOW_MAP_CASCADES = 4  # ref: lib.rs:340
+
+
+def cascade_partition_depths(near, far, n_cascades: int, blend: float = 0.75):
+    """Practical split scheme: blend of linear and logarithmic partitions
+    (the standard PSSM split the reference's CascadePartitionDepths models).
+    Returns [n_cascades + 1] view-space depths."""
+    i = jnp.arange(n_cascades + 1, dtype=jnp.float32) / n_cascades
+    linear = near + (far - near) * i
+    logarithmic = near * (far / near) ** i
+    return blend * logarithmic + (1.0 - blend) * linear
+
+
+def _frustum_corners_world(cam_pos, cam_orientation, vertical_fov, aspect, d0, d1):
+    """8 world-space corners of the camera sub-frustum between depths d0, d1."""
+    from ..math import quaternion as quat
+
+    ty = jnp.tan(0.5 * vertical_fov)
+    tx = ty * aspect
+    corners = []
+    for d in (d0, d1):
+        for sy in (-1.0, 1.0):
+            for sx in (-1.0, 1.0):
+                corners.append(jnp.stack([sx * tx * d, sy * ty * d, -d]))
+    local = jnp.stack(corners)  # [8,3] camera space
+    return quat.rotate(cam_orientation[None, :], local) + cam_pos[None, :]
+
+
+def render_uni_shadow_cascades(
+    light_dir, cam_pos, cam_orientation, vertical_fov, aspect, near, far,
+    world_pos_per_vertex, tri_indices, tri_active, resolution: int,
+    n_cascades: int,
+):
+    """n-cascade directional shadow maps fit to the camera sub-frusta
+    (ref: uni shadow cascade update passes, ≤4 cascades per light).
+
+    Returns (depths [C,S,S], vps [C,4,4], splits [C+1])."""
+    splits = cascade_partition_depths(near, far, n_cascades)
+
+    def one(c):
+        d0, d1 = splits[c], splits[c + 1]
+        corners = _frustum_corners_world(
+            cam_pos, cam_orientation, vertical_fov, aspect, d0, d1
+        )
+        center = jnp.mean(corners, axis=0)
+        radius = jnp.max(jnp.linalg.norm(corners - center, axis=-1)) + 1e-3
+        return render_uni_shadow_map(
+            light_dir, center, radius,
+            world_pos_per_vertex, tri_indices, tri_active, resolution,
+        )
+
+    depths, vps = jax.vmap(one)(jnp.arange(n_cascades))
+    return depths, vps, splits
+
+
+def uni_cascade_visibility(depths, vps, splits, view_depth, world_pos, normal=None):
+    """Cascade-selected PCF visibility. view_depth [...]: −z in camera space.
+
+    Receiver positions are offset along the surface normal by ~1.5 shadow
+    texels (normal-offset bias, derived from each cascade's ortho extent via
+    vp[0,0] = 1/radius) — kills the acne the constant depth bias leaves on
+    large ground planes."""
+    n_cascades = depths.shape[0]
+    # pick the first cascade whose far split exceeds the pixel depth
+    if n_cascades > 1:
+        idx = jnp.sum(
+            (view_depth[..., None] > splits[1:-1]).astype(jnp.int32), axis=-1
+        )
+    else:
+        idx = jnp.zeros(view_depth.shape, jnp.int32)
+    idx = jnp.clip(idx, 0, n_cascades - 1)
+    vp = vps[idx]
+    if normal is not None:
+        s_res = depths.shape[-1]
+        radius = 1.0 / jnp.maximum(jnp.abs(vp[..., 0, 0]), 1e-9)
+        texel_world = 2.0 * radius / s_res
+        world_pos = world_pos + normal * (1.5 * texel_world)[..., None]
+    hp = jnp.concatenate([world_pos, jnp.ones_like(world_pos[..., :1])], -1)
+    clip = jnp.einsum("...ij,...j->...i", vp, hp)
+    ndc = clip[..., :3]
+    uv = jnp.stack([ndc[..., 0] * 0.5 + 0.5, 0.5 - ndc[..., 1] * 0.5], -1)
+    in_map = jnp.all((uv >= 0.0) & (uv <= 1.0), axis=-1)
+    s = depths.shape[-1]
+    base = uv * s - 0.5
+    vis = 0.0
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            p = jnp.clip(jnp.floor(base).astype(jnp.int32) + jnp.array([dy, dx]), 0, s - 1)
+            d = depths[idx, p[..., 1], p[..., 0]]
+            vis = vis + (ndc[..., 2] - 2e-3 <= d)
+    return jnp.where(in_map, vis / 9.0, 1.0)

@@ -21,6 +21,7 @@ from .camera import Camera, projection_matrix, view_matrix
 from .lights import (
     LightPools,
     render_omni_shadow_cubemap,
+    render_uni_shadow_cascades,
     render_uni_shadow_map,
     shade,
 )
@@ -65,6 +66,7 @@ class RenderConfig(NamedTuple):
     exposure_current_frame_weight: float = 0.02
     tone_mapping: str = "ACES"
     shadows_enabled: bool = True
+    csm_cascades: int = 1  # directional-light cascades (ref MAX = 4)
     sky_luminance: tuple = (0.0, 0.0, 0.0)
     # raster triangle budget: the scene's (mostly inactive) triangle slots are
     # compacted to this many before clipping — the render-side analog of the
@@ -168,22 +170,39 @@ def render_frame(
         omni_depths, omni_vps = jax.vmap(omni_one)(lights.omni_position)
         omni_shadows = (omni_depths, omni_vps)
 
-        scene_center = jnp.mean(
-            jnp.where(scene.tri_active.any(), scene.vert_pos, 0.0), axis=0
-        )
-        scene_radius = jnp.maximum(
-            jnp.max(jnp.linalg.norm(scene.vert_pos - scene_center, axis=-1)), 1.0
-        )
+        if config.csm_cascades > 1:
+            # cascaded maps fit to camera sub-frusta (ref: ≤4-cascade CSM)
+            def uni_one(d):
+                return render_uni_shadow_cascades(
+                    d, cam.position, cam.orientation, cam.vertical_fov,
+                    w / h, cam.near, jnp.minimum(cam.far, 200.0),
+                    scene.vert_pos, scene.tri_indices, scene.tri_active,
+                    config.shadow_map_resolution, config.csm_cascades,
+                )
 
-        def uni_one(d):
-            return render_uni_shadow_map(
-                d, scene_center, scene_radius,
-                scene.vert_pos, scene.tri_indices, scene.tri_active,
-                config.shadow_map_resolution,
+            uni_depths, uni_vps, uni_splits = jax.vmap(uni_one)(lights.uni_direction)
+        else:
+            scene_center = jnp.mean(
+                jnp.where(scene.tri_active.any(), scene.vert_pos, 0.0), axis=0
+            )
+            scene_radius = jnp.maximum(
+                jnp.max(jnp.linalg.norm(scene.vert_pos - scene_center, axis=-1)), 1.0
             )
 
-        uni_depths, uni_vps = jax.vmap(uni_one)(lights.uni_direction)
-        uni_shadows = (uni_depths, uni_vps)
+            def uni_one(d):
+                return render_uni_shadow_map(
+                    d, scene_center, scene_radius,
+                    scene.vert_pos, scene.tri_indices, scene.tri_active,
+                    config.shadow_map_resolution,
+                )
+
+            uni_depths, uni_vps = jax.vmap(uni_one)(lights.uni_direction)
+            uni_depths = uni_depths[:, None]
+            uni_vps = uni_vps[:, None]
+            uni_splits = jnp.tile(
+                jnp.stack([cam.near, cam.far])[None], (lights.uni_mask.shape[0], 1)
+            )
+        uni_shadows = (uni_depths, uni_vps, uni_splits)
 
     # --- ambient occlusion ------------------------------------------------
     if config.ao_enabled:
@@ -200,9 +219,10 @@ def render_frame(
         occlusion = jnp.ones((h, w), jnp.float32)
 
     # --- shading ----------------------------------------------------------
+    view_depth = -jnp.einsum("ij,hwj->hwi", vm, hp_cur)[..., 2]
     lum = shade(
         lights, world_pos, normal, albedo, f0, roughness, emissive, occlusion,
-        cam.position, valid, omni_shadows, uni_shadows,
+        cam.position, valid, omni_shadows, uni_shadows, view_depth,
     )
     sky = jnp.asarray(config.sky_luminance, jnp.float32)
     lum = jnp.where(valid[..., None], lum, sky)

@@ -731,5 +731,6 @@ def render_config_from_engine_config(config: EngineConfig):
         exposure_current_frame_weight=r.capturing_camera.average_luminance_computation.current_frame_weight,
         tone_mapping=tone,
         shadows_enabled=r.shadow_mapping.enabled,
+        csm_cascades=config.tpu.csm_cascades,
         sky_luminance=(3000.0, 4500.0, 9000.0),
     )

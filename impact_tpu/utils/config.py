@@ -282,6 +282,7 @@ class TpuConfig:
     render_width: int = 256
     render_height: int = 192
     solver_mode: str = "scan"  # "scan" (Gauss-Seidel parity) | "jacobi" (scale)
+    csm_cascades: int = 1  # directional shadow cascades (reference max: 4)
 
 
 @dataclass

@@ -151,3 +151,28 @@ class TestBrdf:
             n, v, l, jnp.array([0.8] * 3), jnp.array([0.04] * 3), jnp.asarray(0.5)
         )
         np.testing.assert_allclose(out, 0.0, atol=1e-6)
+
+
+class TestCascades:
+    def test_partition_depths_monotonic(self):
+        from impact_tpu.render.lights import cascade_partition_depths
+
+        s = cascade_partition_depths(jnp.asarray(0.1), jnp.asarray(100.0), 4)
+        assert s.shape == (5,)
+        assert float(s[0]) == pytest.approx(0.1, rel=1e-4)
+        assert float(s[-1]) == pytest.approx(100.0, rel=1e-4)
+        assert bool(jnp.all(jnp.diff(s) > 0))
+        # log-biased: first split well below linear midpoint
+        assert float(s[1]) < 25.0
+
+    def test_cascade_selection(self):
+        from impact_tpu.render.lights import uni_cascade_visibility
+
+        depths = jnp.ones((3, 8, 8))  # fully lit maps
+        vps = jnp.tile(jnp.eye(4)[None], (3, 1, 1))
+        splits = jnp.array([0.1, 1.0, 10.0, 100.0])
+        vd = jnp.array([[0.5, 5.0], [50.0, 0.2]])
+        wp = jnp.zeros((2, 2, 3))
+        vis = uni_cascade_visibility(depths, vps, splits, vd, wp)
+        assert vis.shape == (2, 2)
+        assert bool(jnp.all(vis == 1.0))  # everything lit with depth-1 maps
