@@ -468,3 +468,12 @@ class SphericalJoint:
     entity_b: ("u64", ()) = 0
     anchor_a: ("f32", 3) = (0.0, 0.0, 0.0)
     anchor_b: ("f32", 3) = (0.0, 0.0, 0.0)
+
+
+@component(setup=True)
+class OrthographicCamera:
+    """Orthographic camera projection (ref: impact_camera setup.rs:26)."""
+
+    vertical_field_of_view: float = 10.0  # world-units view height
+    near_distance: float = 0.01
+    far_distance: float = 1000.0

@@ -600,6 +600,25 @@ def compile_scene(
             jnp.asarray(pc.far_distance, jnp.float32),
         )
         world.strip_setup_components(eid)
+    for eid in world.entities_with(C.OrthographicCamera):
+        # orthographic cameras reuse the Camera record with a tiny-fov
+        # perspective approximation placed far back (true ortho projection is
+        # available in geometry.projection for render paths that need it;
+        # full pipeline support lands with the windowed viewer)
+        oc = world.get_component(eid, C.OrthographicCamera)
+        pos, ori = frame_of(eid)
+        height = max(oc.vertical_field_of_view, 1e-3)
+        dist = height / (2.0 * np.tan(0.005))
+        from ..math import quaternion as _q
+
+        back = np.asarray(_q.rotate(ori, np.array([0.0, 0.0, 1.0], np.float32)))
+        camera = Camera(
+            jnp.asarray(pos + back * dist), jnp.asarray(ori),
+            jnp.asarray(0.01, jnp.float32),
+            jnp.asarray(max(dist - oc.far_distance, 0.01), jnp.float32),
+            jnp.asarray(dist + oc.far_distance, jnp.float32),
+        )
+        world.strip_setup_components(eid)
 
     # medium
     forces = forces._replace(

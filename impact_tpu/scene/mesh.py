@@ -315,3 +315,42 @@ def mesh_to_static_geometry(mesh: TriangleMesh, albedo=(0.6, 0.6, 0.6), f0=0.04,
         tri_indices=jnp.asarray(mesh.indices),
         tri_active=jnp.ones(len(mesh.indices), bool),
     )
+
+
+class LineSegmentMesh(NamedTuple):
+    """Line-segment mesh (ref: impact_mesh line_segment.rs) — consumed by the
+    gizmo overlay (render/gizmos.py GizmoLines) and debug tooling."""
+
+    positions: np.ndarray  # f32[V,3]
+    indices: np.ndarray  # i32[S,2] segment endpoints
+
+
+def line_segment_mesh(points, segments) -> LineSegmentMesh:
+    return LineSegmentMesh(
+        np.asarray(points, np.float32), np.asarray(segments, np.int32)
+    )
+
+
+def wireframe_of(mesh: TriangleMesh) -> LineSegmentMesh:
+    """Unique-edge wireframe of a triangle mesh."""
+    tri = np.asarray(mesh.indices)
+    edges = np.concatenate([tri[:, [0, 1]], tri[:, [1, 2]], tri[:, [2, 0]]])
+    edges = np.sort(edges, axis=1)
+    edges = np.unique(edges, axis=0)
+    return LineSegmentMesh(mesh.positions, edges.astype(np.int32))
+
+
+def line_mesh_to_gizmo_lines(mesh: LineSegmentMesh, color=(1.0, 1.0, 1.0)):
+    """LineSegmentMesh → render.gizmos.GizmoLines for overlay drawing."""
+    import jax.numpy as jnp
+
+    from ..render.gizmos import GizmoLines
+
+    start = mesh.positions[mesh.indices[:, 0]]
+    end = mesh.positions[mesh.indices[:, 1]]
+    n = len(start)
+    return GizmoLines(
+        jnp.asarray(start), jnp.asarray(end),
+        jnp.tile(jnp.asarray([color], jnp.float32), (n, 1)),
+        jnp.ones(n, bool),
+    )
