@@ -24,7 +24,12 @@ def _load():
     global _lib
     if _lib is not None:
         return _lib
-    if not _LIB_PATH.exists():
+    src = _NATIVE_DIR / "tessellation.cpp"
+    stale = (
+        not _LIB_PATH.exists()
+        or (src.exists() and src.stat().st_mtime > _LIB_PATH.stat().st_mtime)
+    )
+    if stale:
         subprocess.run(
             ["make", "-C", str(_NATIVE_DIR)], check=True, capture_output=True
         )

@@ -90,36 +90,48 @@ def init_render_state(config: RenderConfig) -> RenderState:
     )
 
 
-def render_frame(
+class GBuffer(NamedTuple):
+    """Per-pixel geometry attachments (ref: attachment.rs:37-49 quantities)."""
+
+    world_pos: jnp.ndarray  # f32[H,W,3]
+    normal: jnp.ndarray  # f32[H,W,3]
+    albedo: jnp.ndarray  # f32[H,W,3]
+    f0: jnp.ndarray  # f32[H,W,3]
+    roughness: jnp.ndarray  # f32[H,W]
+    emissive: jnp.ndarray  # f32[H,W,3]
+    motion: jnp.ndarray  # f32[H,W,2] uv-space motion vectors
+    valid: jnp.ndarray  # bool[H,W]
+
+
+def compact_scene_triangles(scene: RenderScene, max_triangles: int) -> RenderScene:
+    """Compact active triangle slots to the raster budget (slots are mostly
+    masked: fixed-capacity voxel meshes)."""
+    if scene.tri_active.shape[0] > max_triangles:
+        order = jnp.argsort(~scene.tri_active, stable=True)[:max_triangles]
+        scene = scene._replace(
+            tri_indices=scene.tri_indices[order], tri_active=scene.tri_active[order]
+        )
+    return scene
+
+
+def geometry_pass(
     scene: RenderScene,
-    lights: LightPools,
     cam: Camera,
     cam_prev: Camera,
-    state: RenderState,
+    frame_index,
     config: RenderConfig,
-):
-    """Render one frame. Returns (u8 image [H,W,3], hdr luminance, new state)."""
-    h, w = config.height, config.width
+) -> GBuffer:
+    """Rasterize the G-buffer + motion vectors (ref: GeometryPass, 592).
 
-    # --- geometry pass ---------------------------------------------------
-    jitter = state.frame_index if config.taa_enabled else None
+    ``scene`` must already be triangle-compacted (compact_scene_triangles)."""
+    h, w = config.height, config.width
+    jitter = frame_index if config.taa_enabled else None
     vm = view_matrix(cam)
     pm = projection_matrix(cam, w, h, jitter)
     vp = pm @ vm
     vm_prev = view_matrix(cam_prev)
     pm_prev = projection_matrix(cam_prev, w, h, None)
     vp_prev = pm_prev @ vm_prev
-
-    # compact active triangle slots to the raster budget (slots are mostly
-    # masked: fixed-capacity voxel meshes)
-    if scene.tri_active.shape[0] > config.max_triangles:
-        order = jnp.argsort(~scene.tri_active, stable=True)[: config.max_triangles]
-        tri_indices = scene.tri_indices[order]
-        tri_active = scene.tri_active[order]
-    else:
-        tri_indices = scene.tri_indices
-        tri_active = scene.tri_active
-    scene = scene._replace(tri_indices=tri_indices, tri_active=tri_active)
 
     hp = jnp.concatenate([scene.vert_pos, jnp.ones_like(scene.vert_pos[..., :1])], -1)
     clip = jnp.einsum("ij,vj->vi", vp, hp)
@@ -155,61 +167,86 @@ def render_frame(
     motion = (ndc_prev - ndc_cur) * jnp.array([0.5, -0.5])
     motion = jnp.where(valid[..., None], motion, 0.0)
 
-    # --- shadow maps ------------------------------------------------------
-    omni_shadows = None
-    uni_shadows = None
-    if config.shadows_enabled:
-        import jax
+    return GBuffer(
+        world_pos=world_pos, normal=normal, albedo=albedo, f0=f0,
+        roughness=roughness, emissive=emissive, motion=motion, valid=valid,
+    )
 
-        def omni_one(pos):
-            return render_omni_shadow_cubemap(
-                pos, scene.vert_pos, scene.tri_indices, scene.tri_active,
+
+def shadow_pass(scene: RenderScene, lights: LightPools, cam: Camera, config: RenderConfig):
+    """Render all shadow maps (ref: omni/uni shadow-map update passes).
+
+    Returns (omni_shadows, uni_shadows) or (None, None) when disabled."""
+    import jax
+
+    h, w = config.height, config.width
+    if not config.shadows_enabled:
+        return None, None
+
+    def omni_one(pos):
+        return render_omni_shadow_cubemap(
+            pos, scene.vert_pos, scene.tri_indices, scene.tri_active,
+            config.shadow_map_resolution,
+        )
+
+    omni_depths, omni_vps = jax.vmap(omni_one)(lights.omni_position)
+    omni_shadows = (omni_depths, omni_vps)
+
+    if config.csm_cascades > 1:
+        # cascaded maps fit to camera sub-frusta (ref: ≤4-cascade CSM)
+        def uni_one(d):
+            return render_uni_shadow_cascades(
+                d, cam.position, cam.orientation, cam.vertical_fov,
+                w / h, cam.near, jnp.minimum(cam.far, 200.0),
+                scene.vert_pos, scene.tri_indices, scene.tri_active,
+                config.shadow_map_resolution, config.csm_cascades,
+            )
+
+        uni_depths, uni_vps, uni_splits = jax.vmap(uni_one)(lights.uni_direction)
+    else:
+        scene_center = jnp.mean(
+            jnp.where(scene.tri_active.any(), scene.vert_pos, 0.0), axis=0
+        )
+        scene_radius = jnp.maximum(
+            jnp.max(jnp.linalg.norm(scene.vert_pos - scene_center, axis=-1)), 1.0
+        )
+
+        def uni_one(d):
+            return render_uni_shadow_map(
+                d, scene_center, scene_radius,
+                scene.vert_pos, scene.tri_indices, scene.tri_active,
                 config.shadow_map_resolution,
             )
 
-        omni_depths, omni_vps = jax.vmap(omni_one)(lights.omni_position)
-        omni_shadows = (omni_depths, omni_vps)
+        uni_depths, uni_vps = jax.vmap(uni_one)(lights.uni_direction)
+        uni_depths = uni_depths[:, None]
+        uni_vps = uni_vps[:, None]
+        uni_splits = jnp.tile(
+            jnp.stack([cam.near, cam.far])[None], (lights.uni_mask.shape[0], 1)
+        )
+    uni_shadows = (uni_depths, uni_vps, uni_splits)
+    return omni_shadows, uni_shadows
 
-        if config.csm_cascades > 1:
-            # cascaded maps fit to camera sub-frusta (ref: ≤4-cascade CSM)
-            def uni_one(d):
-                return render_uni_shadow_cascades(
-                    d, cam.position, cam.orientation, cam.vertical_fov,
-                    w / h, cam.near, jnp.minimum(cam.far, 200.0),
-                    scene.vert_pos, scene.tri_indices, scene.tri_active,
-                    config.shadow_map_resolution, config.csm_cascades,
-                )
 
-            uni_depths, uni_vps, uni_splits = jax.vmap(uni_one)(lights.uni_direction)
-        else:
-            scene_center = jnp.mean(
-                jnp.where(scene.tri_active.any(), scene.vert_pos, 0.0), axis=0
-            )
-            scene_radius = jnp.maximum(
-                jnp.max(jnp.linalg.norm(scene.vert_pos - scene_center, axis=-1)), 1.0
-            )
+def deferred_shade(
+    gb: GBuffer,
+    lights: LightPools,
+    cam: Camera,
+    omni_shadows,
+    uni_shadows,
+    config: RenderConfig,
+):
+    """AO + deferred lighting → HDR luminance [H,W,3] (ref: ambient +
+    directional light passes, AO computation/application)."""
+    h, w = config.height, config.width
+    vm = view_matrix(cam)
+    hp_cur = jnp.concatenate([gb.world_pos, jnp.ones_like(gb.world_pos[..., :1])], -1)
 
-            def uni_one(d):
-                return render_uni_shadow_map(
-                    d, scene_center, scene_radius,
-                    scene.vert_pos, scene.tri_indices, scene.tri_active,
-                    config.shadow_map_resolution,
-                )
-
-            uni_depths, uni_vps = jax.vmap(uni_one)(lights.uni_direction)
-            uni_depths = uni_depths[:, None]
-            uni_vps = uni_vps[:, None]
-            uni_splits = jnp.tile(
-                jnp.stack([cam.near, cam.far])[None], (lights.uni_mask.shape[0], 1)
-            )
-        uni_shadows = (uni_depths, uni_vps, uni_splits)
-
-    # --- ambient occlusion ------------------------------------------------
     if config.ao_enabled:
         vpos_h = jnp.einsum("ij,hwj->hwi", vm, hp_cur)[..., :3]
-        vnorm = jnp.einsum("ij,hwj->hwi", vm[:3, :3], normal)
+        vnorm = jnp.einsum("ij,hwj->hwi", vm[:3, :3], gb.normal)
         occlusion = post.ambient_occlusion(
-            vpos_h, vnorm, valid,
+            vpos_h, vnorm, gb.valid,
             sample_count=config.ao_sample_count,
             sample_radius=config.ao_sample_radius,
             intensity=config.ao_intensity,
@@ -218,16 +255,25 @@ def render_frame(
     else:
         occlusion = jnp.ones((h, w), jnp.float32)
 
-    # --- shading ----------------------------------------------------------
     view_depth = -jnp.einsum("ij,hwj->hwi", vm, hp_cur)[..., 2]
     lum = shade(
-        lights, world_pos, normal, albedo, f0, roughness, emissive, occlusion,
-        cam.position, valid, omni_shadows, uni_shadows, view_depth,
+        lights, gb.world_pos, gb.normal, gb.albedo, gb.f0, gb.roughness,
+        gb.emissive, occlusion, cam.position, gb.valid,
+        omni_shadows, uni_shadows, view_depth,
     )
     sky = jnp.asarray(config.sky_luminance, jnp.float32)
-    lum = jnp.where(valid[..., None], lum, sky)
+    return jnp.where(gb.valid[..., None], lum, sky)
 
-    # --- postprocess ------------------------------------------------------
+
+def postprocess(
+    lum,
+    motion,
+    state: RenderState,
+    config: RenderConfig,
+):
+    """TAA → bloom → auto-exposure → tone map → u8 (ref: Postprocessor chain).
+
+    Returns (img u8 [H,W,3], hdr luminance, new RenderState)."""
     if config.taa_enabled:
         blended = post.temporal_anti_aliasing(
             lum, state.history_luminance, motion,
@@ -269,3 +315,23 @@ def render_frame(
         frame_index=state.frame_index + 1,
     )
     return img, lum_out, new_state
+
+
+def render_frame(
+    scene: RenderScene,
+    lights: LightPools,
+    cam: Camera,
+    cam_prev: Camera,
+    state: RenderState,
+    config: RenderConfig,
+):
+    """Render one frame. Returns (u8 image [H,W,3], hdr luminance, new state).
+
+    Composition of the four passes. NOTE: jitting this whole function as one
+    program makes XLA's optimization passes blow up (minutes of compile time);
+    prefer jitting the stage functions separately (HeadlessRuntime does)."""
+    scene = compact_scene_triangles(scene, config.max_triangles)
+    gb = geometry_pass(scene, cam, cam_prev, state.frame_index, config)
+    omni_shadows, uni_shadows = shadow_pass(scene, lights, cam, config)
+    lum = deferred_shade(gb, lights, cam, omni_shadows, uni_shadows, config)
+    return postprocess(lum, gb.motion, state, config)

@@ -114,6 +114,7 @@ def rasterize(
     width: int,
     chunk: int = 256,
     cull_backfaces: bool = True,
+    method: str = "tiled",
 ):
     """Z-buffer rasterization of T triangle slots into an H×W target.
 
@@ -122,10 +123,229 @@ def rasterize(
     near plane first (2T clipped slots). Returns
     (RasterTarget with tri_id indexing CLIPPED slots, clip2, bary2) —
     feed clip2/bary2 to :func:`resolve_barycentrics`.
+
+    ``method``: "tiled" (default) bins triangles into screen tiles and
+    rasterizes each tile against only its binned triangles — the TPU analog of
+    the reference's GPU chunk culling + hardware raster; "chunk" is the
+    brute-force all-triangles × all-pixels reduction (reference oracle).
     """
     clip2, bary2, act2 = clip_triangles_near(clip_pos, tri_active)
-    target = _rasterize_clipped(clip2, act2, height, width, chunk, cull_backfaces)
+    if method == "tiled":
+        target = _rasterize_clipped_tiled(
+            clip2, act2, height, width, cull_backfaces=cull_backfaces
+        )
+    else:
+        target = _rasterize_clipped(clip2, act2, height, width, chunk, cull_backfaces)
     return target, clip2, bary2
+
+
+def _screen_coords(cp, height: int, width: int):
+    """clip [...,4] → (sx, sy, z_ndc, valid). y flipped: row 0 = top."""
+    w = cp[..., 3]
+    valid = w > 1e-8
+    inv_w = 1.0 / jnp.where(valid, w, 1.0)
+    x = cp[..., 0] * inv_w
+    y = cp[..., 1] * inv_w
+    z = cp[..., 2] * inv_w
+    sx = (x * 0.5 + 0.5) * width
+    sy = (0.5 - y * 0.5) * height
+    return sx, sy, z, valid
+
+
+def _rasterize_clipped_tiled(
+    clip_pos,  # f32[T2,3,4] (near-clipped slots)
+    tri_active,  # bool[T2]
+    height: int,
+    width: int,
+    tile: int = 32,
+    k_per_tile: int = 128,
+    big_budget: int = 256,
+    tiles_per_chunk: int = 32,
+    cull_backfaces: bool = True,
+) -> RasterTarget:
+    """Tile-binned z-buffer raster.
+
+    Small triangles (screen bbox spanning ≤2×2 tiles) are binned into
+    (tile, triangle) pairs, sorted by (tile, depth) so each tile keeps its
+    nearest ``k_per_tile`` candidates, and rasterized tile-locally. Triangles
+    spanning more tiles (ground planes, extreme close-ups — rare) go through
+    the brute-force chunk path with a ``big_budget`` bound; results merge by
+    depth. Sizes are static; overflow drops the FARTHEST candidates per tile,
+    which the z-buffer would almost always discard anyway.
+    """
+    t2 = clip_pos.shape[0]
+    th = -(-height // tile)
+    tw = -(-width // tile)
+    n_tiles = th * tw
+
+    sx, sy, z, valid = _screen_coords(clip_pos, height, width)  # [T2,3]
+    act = tri_active & jnp.all(valid, axis=-1)
+    area = _edge(sx[:, 0], sy[:, 0], sx[:, 1], sy[:, 1], sx[:, 2], sy[:, 2])
+    if cull_backfaces:
+        act = act & (area < -1e-12)
+    else:
+        act = act & (jnp.abs(area) > 1e-12)
+
+    # screen bbox → tile span
+    xmin = jnp.min(sx, axis=-1)
+    xmax = jnp.max(sx, axis=-1)
+    ymin = jnp.min(sy, axis=-1)
+    ymax = jnp.max(sy, axis=-1)
+    on_screen = (xmax >= 0) & (xmin < width) & (ymax >= 0) & (ymin < height)
+    act = act & on_screen
+    tx0 = jnp.clip(jnp.floor(xmin / tile).astype(jnp.int32), 0, tw - 1)
+    tx1 = jnp.clip(jnp.floor(xmax / tile).astype(jnp.int32), 0, tw - 1)
+    ty0 = jnp.clip(jnp.floor(ymin / tile).astype(jnp.int32), 0, th - 1)
+    ty1 = jnp.clip(jnp.floor(ymax / tile).astype(jnp.int32), 0, th - 1)
+    small = act & (tx1 - tx0 < 2) & (ty1 - ty0 < 2)
+    big = act & ~small
+
+    # --- bin small triangles: up to 4 (tile, tri) pairs each ----------------
+    ddx = jnp.array([0, 1, 0, 1], jnp.int32)
+    ddy = jnp.array([0, 0, 1, 1], jnp.int32)
+    ptx = tx0[:, None] + ddx[None, :]  # [T2,4]
+    pty = ty0[:, None] + ddy[None, :]
+    pair_ok = (
+        small[:, None]
+        & (ptx <= tx1[:, None])
+        & (pty <= ty1[:, None])
+    )
+    pair_tile = jnp.where(pair_ok, pty * tw + ptx, n_tiles).reshape(-1)  # [4T2]
+    tri_near_z = jnp.min(z, axis=-1)
+    pair_depth = jnp.broadcast_to(tri_near_z[:, None], (t2, 4)).reshape(-1)
+    pair_tri = jnp.broadcast_to(
+        jnp.arange(t2, dtype=jnp.int32)[:, None], (t2, 4)
+    ).reshape(-1)
+    tile_sorted, _, tri_sorted = jax.lax.sort(
+        (pair_tile, pair_depth, pair_tri), num_keys=2
+    )
+    starts = jnp.searchsorted(tile_sorted, jnp.arange(n_tiles, dtype=jnp.int32))
+    ends = jnp.searchsorted(
+        tile_sorted, jnp.arange(n_tiles, dtype=jnp.int32), side="right"
+    )
+    counts = (ends - starts).astype(jnp.int32)
+
+    # gather triangle screen data once (flat, reused by every tile chunk)
+    ax, ay, az = sx[:, 0], sy[:, 0], z[:, 0]
+    bx, by, bz = sx[:, 1], sy[:, 1], z[:, 1]
+    cx, cy, cz = sx[:, 2], sy[:, 2], z[:, 2]
+    inv_area = 1.0 / jnp.where(jnp.abs(area) > 1e-12, area, 1.0)
+
+    n_chunks = -(-n_tiles // tiles_per_chunk)
+    n_tiles_pad = n_chunks * tiles_per_chunk
+    starts = jnp.pad(starts, (0, n_tiles_pad - n_tiles))
+    counts = jnp.pad(counts, (0, n_tiles_pad - n_tiles))
+    tile_x0 = (jnp.arange(n_tiles_pad, dtype=jnp.int32) % tw) * tile
+    tile_y0 = (jnp.arange(n_tiles_pad, dtype=jnp.int32) // tw) * tile
+
+    # flat in-tile pixel centers [S²]
+    lx = (jnp.arange(tile, dtype=jnp.float32) + 0.5)[None, :]
+    ly = (jnp.arange(tile, dtype=jnp.float32) + 0.5)[:, None]
+    lx = jnp.broadcast_to(lx, (tile, tile)).reshape(-1)
+    ly = jnp.broadcast_to(ly, (tile, tile)).reshape(-1)
+
+    k = k_per_tile
+    tc = tiles_per_chunk
+
+    def chunk_body(ci, out):
+        depth_out, tri_out = out
+        s0 = ci * tc
+        st = jax.lax.dynamic_slice(starts, (s0,), (tc,))  # [TC]
+        cn = jax.lax.dynamic_slice(counts, (s0,), (tc,))
+        x0 = jax.lax.dynamic_slice(tile_x0, (s0,), (tc,)).astype(jnp.float32)
+        y0 = jax.lax.dynamic_slice(tile_y0, (s0,), (tc,)).astype(jnp.float32)
+
+        idx = st[:, None] + jnp.arange(k, dtype=jnp.int32)[None, :]  # [TC,K]
+        have = jnp.arange(k, dtype=jnp.int32)[None, :] < cn[:, None]
+        idx = jnp.clip(idx, 0, tri_sorted.shape[0] - 1)
+        tri = tri_sorted[idx]  # [TC,K] clipped-slot ids
+
+        # per-candidate screen coords relative to tile origin
+        rax = ax[tri] - x0[:, None]
+        ray = ay[tri] - y0[:, None]
+        rbx = bx[tri] - x0[:, None]
+        rby = by[tri] - y0[:, None]
+        rcx = cx[tri] - x0[:, None]
+        rcy = cy[tri] - y0[:, None]
+        ia = inv_area[tri]
+        z0 = az[tri]
+        z1 = bz[tri]
+        z2 = cz[tri]
+
+        pxe = lx[None, None, :]  # [1,1,S²]
+        pye = ly[None, None, :]
+        w0 = _edge(rbx[..., None], rby[..., None], rcx[..., None], rcy[..., None], pxe, pye)
+        w1 = _edge(rcx[..., None], rcy[..., None], rax[..., None], ray[..., None], pxe, pye)
+        w2 = _edge(rax[..., None], ray[..., None], rbx[..., None], rby[..., None], pxe, pye)
+        b0 = w0 * ia[..., None]
+        b1 = w1 * ia[..., None]
+        b2 = w2 * ia[..., None]
+        covered = (b0 >= 0) & (b1 >= 0) & (b2 >= 0) & have[..., None]
+        zpix = b0 * z0[..., None] + b1 * z1[..., None] + b2 * z2[..., None]
+        covered = covered & (zpix >= 0.0) & (zpix <= 1.0)
+        zpix = jnp.where(covered, zpix, jnp.inf)  # [TC,K,S²]
+
+        best = jnp.argmin(zpix, axis=1)  # [TC,S²]
+        best_z = jnp.take_along_axis(zpix, best[:, None, :], axis=1)[:, 0, :]
+        best_tri = jnp.take_along_axis(tri, best, axis=1)  # [TC,S²] clipped ids
+        best_tri = jnp.where(jnp.isfinite(best_z), best_tri, NO_TRI)
+        best_z = jnp.where(jnp.isfinite(best_z), best_z, 1.0)
+
+        depth_out = jax.lax.dynamic_update_slice(depth_out, best_z, (s0, 0))
+        tri_out = jax.lax.dynamic_update_slice(tri_out, best_tri, (s0, 0))
+        return depth_out, tri_out
+
+    depth_tiles, tri_tiles = jax.lax.fori_loop(
+        0,
+        n_chunks,
+        chunk_body,
+        (
+            jnp.ones((n_tiles_pad, tile * tile), jnp.float32),
+            jnp.full((n_tiles_pad, tile * tile), NO_TRI),
+        ),
+    )
+    # [n_tiles_pad, S²] → [TH, TW, S, S] → [TH·S, TW·S] → crop
+    depth = (
+        depth_tiles[:n_tiles]
+        .reshape(th, tw, tile, tile)
+        .transpose(0, 2, 1, 3)
+        .reshape(th * tile, tw * tile)[:height, :width]
+    )
+    tri_id = (
+        tri_tiles[:n_tiles]
+        .reshape(th, tw, tile, tile)
+        .transpose(0, 2, 1, 3)
+        .reshape(th * tile, tw * tile)[:height, :width]
+    )
+
+    # --- big triangles: brute-force with a static budget --------------------
+    any_big = jnp.any(big)
+    nb = min(big_budget, t2)
+    # nearest-first so overflow drops the farthest big triangles
+    big_key = jnp.where(big, tri_near_z, jnp.inf)
+    big_order = jnp.argsort(big_key)[:nb]
+    big_sel = big[big_order]
+
+    def do_big(args):
+        depth, tri_id = args
+        cp_big = clip_pos[big_order]
+        tgt = _rasterize_clipped(
+            cp_big, big_sel, height, width, chunk=min(64, nb),
+            cull_backfaces=cull_backfaces,
+        )
+        big_tri_global = jnp.where(
+            tgt.tri_id >= 0, big_order[jnp.maximum(tgt.tri_id, 0)], NO_TRI
+        )
+        closer = tgt.depth < depth
+        return (
+            jnp.where(closer, tgt.depth, depth),
+            jnp.where(closer, big_tri_global, tri_id),
+        )
+
+    depth, tri_id = jax.lax.cond(
+        any_big, do_big, lambda a: a, (depth, tri_id)
+    )
+    return RasterTarget(depth=depth, tri_id=tri_id)
 
 
 def _rasterize_clipped(

@@ -29,6 +29,9 @@ def _flatten_with_names(tree):
             for p in path
         )
         out[key] = np.asarray(leaf)
+    assert len(out) == len(flat), (
+        "pytree paths collide when stringified; checkpoint keys must be unique"
+    )
     return out
 
 
@@ -53,6 +56,7 @@ def load_checkpoint(path, template):
         for key, tmpl in names.items():
             arr = data[key]
             assert arr.shape == tmpl.shape, (key, arr.shape, tmpl.shape)
+            assert arr.dtype == tmpl.dtype, (key, arr.dtype, tmpl.dtype)
             leaves.append(jnp.asarray(arr))
     treedef = jtu.tree_structure(template)
     return jtu.tree_unflatten(treedef, leaves), meta

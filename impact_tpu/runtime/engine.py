@@ -319,7 +319,9 @@ def make_engine_step(
 
         def do(args):
             phys, pool = args
-            pool2, did = split_off_disconnected_region(pool, obj, free_slot)
+            pool2, did, disconnected = split_off_disconnected_region(
+                pool, obj, free_slot
+            )
             # new fragment gets body pose/velocity from the source
             new_mask = jnp.zeros(pool.n_objects, bool).at[
                 jnp.maximum(free_slot, 0)
@@ -327,9 +329,10 @@ def make_engine_step(
             phys2 = _inherit_fragment_motion(
                 phys, pool2, pool.body_index[obj], new_mask
             )
-            # connected (no split) → this object's check is complete
+            # still disconnected (split done → source may have more parts;
+            # or blocked on pool capacity) → keep pending; connected → clear
             pool2 = pool2._replace(
-                split_pending=pool2.split_pending.at[obj].set(did)
+                split_pending=pool2.split_pending.at[obj].set(disconnected)
             )
             return phys2, pool2
 

@@ -68,21 +68,55 @@ class HeadlessRuntime:
         params = self.params
         registry_ = self.registry
         rc = self.render_config
+        from ..render.pipeline import (
+            compact_scene_triangles,
+            deferred_shade,
+            geometry_pass,
+            postprocess,
+            shadow_pass,
+        )
 
-        def render(sim):
+        # Four separately-jitted passes (the reference records them as separate
+        # wgpu passes too, render_command.rs:222-432). Stage boundaries are the
+        # materialized attachments, so splitting costs no fusion; each stage
+        # compiles and caches independently (whole-frame programs make XLA's
+        # optimization passes balloon).
+        def scene_of(sim):
             scene = build_render_scene(
                 sim.voxels, sim.meshes, registry_,
                 sim.phys.bodies.position, sim.phys.bodies.orientation,
                 sim.prev_position, sim.prev_orientation,
                 params.static_geometry,
             )
-            img, hdr, rstate = render_frame(
-                scene, params.lights, params.camera, params.camera,
-                sim.render, rc,
+            return compact_scene_triangles(scene, rc.max_triangles)
+
+        self._scene_of = jax.jit(scene_of)
+        self._geometry = jax.jit(
+            lambda scene, frame_index: geometry_pass(
+                scene, params.camera, params.camera, frame_index, rc
             )
+        )
+        self._shadows = jax.jit(
+            lambda scene: shadow_pass(scene, params.lights, params.camera, rc)
+        )
+        self._shade = jax.jit(
+            lambda gb, omni, uni: deferred_shade(
+                gb, params.lights, params.camera, omni, uni, rc
+            )
+        )
+        self._post = jax.jit(
+            lambda lum, motion, rstate: postprocess(lum, motion, rstate, rc)
+        )
+
+        def render(sim):
+            scene = self._scene_of(sim)
+            gb = self._geometry(scene, sim.render.frame_index)
+            omni, uni = self._shadows(scene)
+            lum = self._shade(gb, omni, uni)
+            img, hdr, rstate = self._post(lum, gb.motion, sim.render)
             return img, sim._replace(render=rstate)
 
-        self._render = jax.jit(render)
+        self._render = render
 
     # --- commands / checkpoint / reset ---------------------------------------
     def enqueue_command(self, category: str, action: str, value=None):

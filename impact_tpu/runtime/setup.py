@@ -659,6 +659,18 @@ def compile_scene(
     phys, pool = _sync_voxel_bodies(
         phys, pool, registry.mass_density, pool.mesh_dirty
     )
+    # Convert initial Motion velocities into momenta now that every dynamic
+    # body (regular + voxel) has its final mass/inertia: p = m·v, L = I_w·ω
+    # (ref: rigid_body.rs:423-437 sets momenta at creation). Without this,
+    # dynamic bodies start with L = 0 and voxel bodies with p = L = 0
+    # regardless of their Motion component.
+    from ..physics.state import synchronize_momenta
+
+    phys = phys._replace(
+        bodies=synchronize_momenta(
+            phys.bodies, phys.bodies.velocity, phys.bodies.angular_velocity
+        )
+    )
     full = surface_nets_batched(pool.sdf, pool.vtype)
     mesh_vert_cap = min(4096, (g - 1) ** 3)
     mesh_tri_cap = min(8192, 6 * (g - 1) ** 3)

@@ -150,7 +150,10 @@ def connected_component_labels(occ, max_iters: int | None = None):
     big = jnp.int32(g * g * g)
     labels0 = jnp.where(occ, lin, big)
     if max_iters is None:
-        max_iters = 3 * g
+        # g³ is the worst-case shortest-path length through the grid (a
+        # serpentine component), so the loop provably reaches the fixpoint;
+        # the while_loop early-exits at convergence so typical cost is O(g).
+        max_iters = g * g * g
 
     def propagate(labels):
         m = labels
@@ -191,7 +194,8 @@ def split_off_disconnected_region(pool: VoxelObjectPool, obj_index, free_slot):
     """If object ``obj_index`` has >1 connected component, move the smallest
     into ``free_slot`` (ref: extraction.rs:78 extract_any_disconnected_region /
     :121 extract_smallest_region...). Jit-safe: no-ops when connected or when
-    free_slot < 0. Returns (pool, did_split: bool array)."""
+    free_slot < 0. Returns (pool, did_split, disconnected) — ``disconnected``
+    is reported separately so a split blocked on pool capacity stays pending."""
     occ = occupancy(pool)[obj_index]
     labels = connected_component_labels(occ)
     root = jnp.max(jnp.where(occ, labels, -1))  # any existing label
@@ -238,7 +242,7 @@ def split_off_disconnected_region(pool: VoxelObjectPool, obj_index, free_slot):
         .at[slot]
         .set(jnp.where(can, True, pool.mesh_dirty[slot])),
     )
-    return pool, can
+    return pool, can, disconnected
 
 
 # --- fracturing -----------------------------------------------------------------

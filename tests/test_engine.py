@@ -100,6 +100,43 @@ class TestEngine:
         # voxels conserved through fracture (no absorption in this scene)
         assert total_after == total_before
 
+    def test_compile_scene_preserves_initial_motion(self):
+        """Initial Motion velocities must become momenta at scene compile
+        (ref: rigid_body.rs:423-437 sets p=m·v and L=I·ω at creation)."""
+        from impact_tpu.ecs import World, components as C
+        from impact_tpu.physics.state import compute_velocities
+
+        cfg = tiny_config()
+        world = World()
+        # dynamic voxel object with both linear and angular initial velocity
+        e = world.create_entity(
+            C.VoxelBox(voxel_extent=0.25, extent_x=6, extent_y=6, extent_z=6),
+            C.ReferenceFrame(position=(0.0, 5.0, 0.0)),
+            C.Motion(
+                linear_velocity=(1.0, 2.0, 3.0), angular_velocity=(0.5, -0.25, 1.0)
+            ),
+            C.DynamicVoxels(),
+        )
+        # regular dynamic body with angular initial velocity
+        e2 = world.create_entity(
+            C.ReferenceFrame(position=(4.0, 5.0, 0.0)),
+            C.Motion(linear_velocity=(0.0, 1.0, 0.0), angular_velocity=(0.0, 0.0, 2.0)),
+            C.DynamicRigidBodySubstance(mass_density=1.0),
+            C.SphericalCollidable(radius=0.5),
+        )
+        build = compile_scene(world, cfg)
+        v, w = compute_velocities(build.sim.phys.bodies)
+        bi_vox = int(build.sim.voxels.body_index[0])
+        np.testing.assert_allclose(
+            np.asarray(v[bi_vox]), [1.0, 2.0, 3.0], atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(w[bi_vox]), [0.5, -0.25, 1.0], atol=1e-4
+        )
+        # the regular body slot is the first regular slot (0)
+        np.testing.assert_allclose(np.asarray(v[0]), [0.0, 1.0, 0.0], atol=1e-4)
+        np.testing.assert_allclose(np.asarray(w[0]), [0.0, 0.0, 2.0], atol=1e-4)
+
     def test_entry_points_compile(self):
         import __graft_entry__ as ge
 

@@ -222,10 +222,11 @@ class TestDeformation:
             alive=pool.alive.at[0].set(True),
         )
         total = int(nonempty_counts(pool)[0])
-        pool2, did = split_off_disconnected_region(
+        pool2, did, disconnected = split_off_disconnected_region(
             pool, jnp.asarray(0), jnp.asarray(1)
         )
         assert bool(did)
+        assert bool(disconnected)
         counts = nonempty_counts(pool2)
         assert int(counts[0]) + int(counts[1]) == total
         assert 0 < int(counts[1]) < int(counts[0])  # smaller part moved out
@@ -233,8 +234,11 @@ class TestDeformation:
 
     def test_split_noop_when_connected(self):
         pool = make_sphere_pool(radius=6.0)
-        pool2, did = split_off_disconnected_region(pool, jnp.asarray(0), jnp.asarray(1))
+        pool2, did, disconnected = split_off_disconnected_region(
+            pool, jnp.asarray(0), jnp.asarray(1)
+        )
         assert not bool(did)
+        assert not bool(disconnected)
         assert not bool(pool2.alive[1])
 
     def test_fracture_conserves_voxels(self):
