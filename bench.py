@@ -1,12 +1,20 @@
-"""Benchmark: physics steps/sec at ~1M active voxels (step + render cadence).
+"""Benchmark: the north-star condition (BASELINE.json) on the real chip.
 
-Run on the real chip: ``python bench.py``. Prints ONE JSON line.
+Measures physics steps/sec with >=1M active deformable voxels and the
+step+render frame time for the full PBR pipeline (shadows + AO + TAA + bloom
++ auto-exposure + tone mapping) at 1920x1080. Prints ONE JSON line.
 
 Baseline context (BASELINE.md): the reference publishes no numbers; its only
-measured datapoint is ~33 ms/frame (~30 FPS ≈ 30 physics steps/sec, 1 substep
-per frame) for a 1000-small-voxel-object scene on a desktop GPU
-(docs/voxel_gpu_buffer_pooling.md:1-13). vs_baseline uses that 30 steps/sec
-figure as the reference wall-clock rate.
+measured datapoint is ~33 ms/frame (~30 FPS = 30 physics steps/sec at 1
+substep/frame) for a 1000-small-voxel-object scene on a desktop GPU
+(docs/voxel_gpu_buffer_pooling.md:1-13). vs_baseline divides by that
+30 steps/sec wall-clock rate; the scenes differ (the reference scene has more
+objects, this one has ~25x more active voxels), so treat it as an
+order-of-magnitude anchor, not an apples-to-apples ratio.
+
+Robustness: TPU backend init is retried with backoff (the tunnel flakes); on
+persistent failure the script still exits 0 and emits a JSON line with an
+"error" field so the driver records the condition instead of an rc=1.
 """
 
 from __future__ import annotations
@@ -14,83 +22,131 @@ from __future__ import annotations
 import json
 import os
 import time
+import traceback
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 
 BASELINE_STEPS_PER_SEC = 30.0
 
 
-def main():
+def _emit(result: dict) -> None:
+    print(json.dumps(result))
+
+
+def _log(msg: str) -> None:
+    import sys
+
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+
+def _init_devices(n_attempts: int = 4):
+    """Initialize the default jax backend with retry/backoff; returns the
+    device list. Raises after the final attempt."""
     import jax
+
+    delay = 5.0
+    for attempt in range(n_attempts):
+        try:
+            return jax.devices()
+        except Exception:
+            if attempt == n_attempts - 1:
+                raise
+            time.sleep(delay)
+            delay *= 2
+
+
+def main() -> dict:
+    devices = _init_devices()
     import numpy as np
 
+    from impact_tpu.ecs import components as C
     from impact_tpu.models import voxel_box_tumbler
     from impact_tpu.runtime import HeadlessRuntime, compile_scene
     from impact_tpu.utils.config import EngineConfig
+    from impact_tpu.voxel.object import nonempty_counts
 
-    # ~1M active voxels: 32 objects × (10-voxel boxes in 32³ grids) is sparse;
-    # use 16 objects of 26³ solid boxes ≈ 280k solid voxels in 32³ grids
-    # (1.05M more voxel cells processed per step: 32 objects × 32³ grid cells).
-    n_objects = int(os.environ.get("BENCH_OBJECTS", "48"))
+    # 64 objects x 26^3-voxel solid boxes in 32^3 grids ~= 1.12M active voxels
+    n_objects = int(os.environ.get("BENCH_OBJECTS", "64"))
+    width = int(os.environ.get("BENCH_WIDTH", "1920"))
+    height = int(os.environ.get("BENCH_HEIGHT", "1080"))
     cfg = EngineConfig()
     cfg.tpu.max_voxel_objects = n_objects
     cfg.tpu.max_bodies = n_objects + 16
     cfg.tpu.max_contacts = 1024
     cfg.tpu.voxel_grid_size = 32
-    cfg.tpu.render_width = int(os.environ.get("BENCH_WIDTH", "320"))
-    cfg.tpu.render_height = int(os.environ.get("BENCH_HEIGHT", "180"))
+    cfg.tpu.render_width = width
+    cfg.tpu.render_height = height
     cfg.tpu.solver_mode = "jacobi"
     cfg.physics.simulator.initial_time_step_duration = 0.005
-    cfg.rendering.shadow_mapping.omnidirectional_light_shadow_map_resolution = 128
-    cfg.rendering.shadow_mapping.unidirectional_light_shadow_map_resolution = 128
+    cfg.rendering.shadow_mapping.omnidirectional_light_shadow_map_resolution = int(
+        os.environ.get("BENCH_SHADOW_RES", "512")
+    )
+    # ~500k surface triangles at 64 solid 26^3 boxes; budget must hold them
+    cfg.tpu.max_render_triangles = int(os.environ.get("BENCH_TRIS", str(1 << 19)))
 
     world = voxel_box_tumbler(n_boxes=max(1, n_objects - 2), seed=3)
-    # scale the boxes up to fill the 32³ grids (~22k solid voxels each) so the
-    # active-voxel count approaches the 1M north-star figure
-    from impact_tpu.ecs import components as C
-
     for eid in world.entities_with(C.VoxelBox):
         world.set_field(eid, C.VoxelBox, "extent_x", 26.0)
         world.set_field(eid, C.VoxelBox, "extent_y", 26.0)
         world.set_field(eid, C.VoxelBox, "extent_z", 26.0)
+    t0 = time.perf_counter()
     build = compile_scene(world, cfg)
+    _log(f"compile_scene {time.perf_counter() - t0:.0f}s")
     rt = HeadlessRuntime(build, cfg, enable_fracturing=False)
 
-    # active voxel count for the record
-    from impact_tpu.voxel.object import nonempty_counts
-
     n_active = int(np.sum(np.asarray(nonempty_counts(rt.sim.voxels))))
+    _log(f"{n_active} active voxels")
 
-    # warm up (compile)
+    # warm up (compile step + all render stages)
+    t0 = time.perf_counter()
     rt.step(2)
+    _log(f"step warmup {time.perf_counter() - t0:.0f}s")
+    t0 = time.perf_counter()
     rt.render()
+    rt.render()
+    _log(f"render warmup {time.perf_counter() - t0:.0f}s")
 
     # measure pure stepping
-    n_steps = int(os.environ.get("BENCH_STEPS", "200"))
+    n_steps = int(os.environ.get("BENCH_STEPS", "100"))
     t0 = time.perf_counter()
     rt.step(n_steps)
     dt_step = (time.perf_counter() - t0) / n_steps
 
     # measure step+render frame
+    n_frames = int(os.environ.get("BENCH_FRAMES", "10"))
     t0 = time.perf_counter()
-    n_frames = 10
     for _ in range(n_frames):
         rt.step(1)
         rt.render()
     dt_frame = (time.perf_counter() - t0) / n_frames
 
     steps_per_sec = 1.0 / dt_step
-    result = {
+    return {
         "metric": (
-            f"physics steps/sec, {n_objects} deformable voxel objects "
-            f"({n_active} active voxels, {n_objects * 32**3} grid cells); "
-            f"step+render {dt_frame * 1e3:.1f} ms/frame @ "
-            f"{cfg.tpu.render_width}x{cfg.tpu.render_height}"
+            f"physics steps/sec, {n_objects} deformable voxel objects, "
+            f"{n_active} active voxels ({n_objects * 32**3} grid cells); "
+            f"step+render(PBR shadows+AO+TAA+bloom) {dt_frame * 1e3:.1f} ms/frame "
+            f"@ {width}x{height} on {devices[0].device_kind}; baseline anchor: "
+            f"~30 steps/s for the reference's 1000-small-object desktop-GPU scene"
         ),
         "value": round(steps_per_sec, 2),
         "unit": "steps/s",
         "vs_baseline": round(steps_per_sec / BASELINE_STEPS_PER_SEC, 2),
     }
-    print(json.dumps(result))
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        result = main()
+    except Exception as exc:  # emit the failure as data, never rc!=0
+        result = {
+            "metric": "physics steps/sec at >=1M active voxels (FAILED)",
+            "value": 0.0,
+            "unit": "steps/s",
+            "vs_baseline": 0.0,
+            "error": "".join(
+                traceback.format_exception_only(type(exc), exc)
+            ).strip()[:500],
+        }
+    _emit(result)

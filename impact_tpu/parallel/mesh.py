@@ -49,7 +49,7 @@ def sim_state_shardings(mesh: Mesh, sim):
             return NamedSharding(mesh, P("objects", "space"))
         if name.startswith("voxels/") and getattr(leaf, "ndim", 0) >= 1:
             return NamedSharding(mesh, P("objects"))
-        if name.startswith("meshes/"):
+        if name.startswith("meshes/") or name.startswith("probes/"):
             return NamedSharding(mesh, P("objects"))
         return rep
 

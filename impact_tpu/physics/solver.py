@@ -291,6 +291,30 @@ def solve_contacts(
             0, config.n_iterations, iteration, (v, w, acc)
         )
     else:  # jacobi
+        # contact→body accumulation as one-hot matmuls: TPU scatters serialize
+        # (each .at[].add over [C]→[N] costs ~ms), while [C,N]×[C,3]
+        # contractions ride the MXU in microseconds. The one-hot incidence
+        # matrices are built once per solve.
+        body_ids = jnp.arange(bodies.n, dtype=ia.dtype)
+        oh_a = ((ia[:, None] == body_ids[None, :]) & act[:, None]).astype(
+            jnp.float32
+        )  # [C,N]
+        oh_b = ((ib[:, None] == body_ids[None, :]) & act[:, None]).astype(
+            jnp.float32
+        )
+
+        def accumulate(dp):
+            """[C,3] world momentum changes → (dv [N,3], dw [N,3])."""
+            lin = jnp.einsum("cn,ck->nk", oh_a, dp) - jnp.einsum(
+                "cn,ck->nk", oh_b, dp
+            )
+            ang = jnp.einsum(
+                "cn,ck->nk", oh_a, jnp.cross(prep.disp_a, dp)
+            ) - jnp.einsum("cn,ck->nk", oh_b, jnp.cross(prep.disp_b, dp))
+            dv = inv_mass[:, None] * lin
+            dw = jnp.einsum("nij,nj->ni", inv_inertia, ang)
+            return dv, dw
+
         def iteration(_, state):
             v, w, acc = state
             vel_a = v[ia] + jnp.cross(w[ia], prep.disp_a)
@@ -307,8 +331,8 @@ def solve_contacts(
             )
             new_acc = _clamp_impulses(acc + jacobi_relaxation * imp, prep.friction_coef)
             delta = jnp.where(act[:, None], new_acc - acc, 0.0)
-            v2, w2 = apply_all(v, w, delta)
-            return v2, w2, jnp.where(act[:, None], new_acc, acc)
+            dv, dw = accumulate(_momentum_change(prep, delta))
+            return v + dv, w + dw, jnp.where(act[:, None], new_acc, acc)
 
         v, w, acc = jax.lax.fori_loop(
             0, max(config.n_iterations, 1) * 4, iteration, (v, w, acc)
@@ -317,6 +341,39 @@ def solve_contacts(
     # positional correction (ref: contact.rs:440-520), sequential in scan mode
     pos, ori = bodies.position, bodies.orientation
     corr = config.positional_correction_factor
+
+    if mode == "jacobi":
+        # parallel pseudo-impulse correction with the same matmul accumulation
+        # (under-relaxed; the scan path below is the sequential parity oracle)
+        def corr_iteration_j(_, state):
+            pos, ori = state
+            pa = pos[ia] + quat.rotate(ori[ia], prep.local_a)
+            pb = pos[ib] + quat.rotate(ori[ib], prep.local_b)
+            depth = jnp.sum(prep.normal * (pb - pa), axis=-1)
+            da = pb - pos[ia]
+            db = pb - pos[ib]
+            em = _effective_mass(
+                inv_mass[ia], inv_mass[ib], inv_inertia[ia], inv_inertia[ib],
+                da, db, prep.normal,
+            )
+            pseudo = (
+                em * corr * depth * (act & (depth > 0.0)) * jacobi_relaxation
+            )
+            dp = pseudo[:, None] * prep.normal
+            dpos, dw = accumulate(dp)
+            pos = pos + dpos
+            ori = quat.integrate_angular_velocity(ori, dw, 1.0)
+            return pos, ori
+
+        pos, ori = jax.lax.fori_loop(
+            0,
+            config.n_positional_correction_iterations,
+            corr_iteration_j,
+            (pos, ori),
+        )
+        return _finalize(
+            bodies, prep, v, w, acc, act, ia, ib, pos, ori
+        )
 
     def one_correction(carry, c):
         pos, ori = carry
@@ -350,7 +407,10 @@ def solve_contacts(
     pos, ori = jax.lax.fori_loop(
         0, config.n_positional_correction_iterations, corr_iteration, (pos, ori)
     )
+    return _finalize(bodies, prep, v, w, acc, act, ia, ib, pos, ori)
 
+
+def _finalize(bodies, prep, v, w, acc, act, ia, ib, pos, ori):
     # Only bodies participating in ≥1 active constraint are written back —
     # the reference's ConstrainedBodyManager holds exactly those bodies
     # (solver.rs apply_constrained_body_velocities_...), and an unconditional

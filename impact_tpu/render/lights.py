@@ -112,8 +112,11 @@ def render_omni_shadow_cubemap(
         )
         clip = jnp.einsum("ij,vj->vi", vp, hp)
         tri_clip = clip[tri_indices]  # [T,3,4]
+        # smaller big-pass budget + tile chunks: depth-only targets under a
+        # 6-face vmap (memory per loop iteration is multiplied by the batch)
         target, _, _ = rasterlib.rasterize(
-            tri_clip, tri_active, resolution, resolution, cull_backfaces=False
+            tri_clip, tri_active, resolution, resolution, cull_backfaces=False,
+            big_budget=16, tiles_per_chunk=32,
         )
         return target.depth, vp
 
@@ -144,7 +147,8 @@ def render_uni_shadow_map(
     clip = jnp.einsum("ij,vj->vi", vp, hp)
     tri_clip = clip[tri_indices]
     target, _, _ = rasterlib.rasterize(
-        tri_clip, tri_active, resolution, resolution, cull_backfaces=False
+        tri_clip, tri_active, resolution, resolution, cull_backfaces=False,
+        big_budget=16, tiles_per_chunk=64,
     )
     return target.depth, vp
 

@@ -37,6 +37,7 @@ class RenderScene(NamedTuple):
     vert_f0: jnp.ndarray  # f32[V,3] specular reflectance at normal incidence
     vert_roughness: jnp.ndarray  # f32[V]
     vert_emissive: jnp.ndarray  # f32[V,3]
+    vert_material: jnp.ndarray  # i32[V] texture layer (voxel type), -1 untextured
     tri_indices: jnp.ndarray  # i32[T,3]
     tri_active: jnp.ndarray  # bool[T]
 
@@ -68,6 +69,11 @@ class RenderConfig(NamedTuple):
     shadows_enabled: bool = True
     csm_cascades: int = 1  # directional-light cascades (ref MAX = 4)
     sky_luminance: tuple = (0.0, 0.0, 0.0)
+    # textured-material path (ref: impact_material Textured*/NormalMap setup
+    # components) — triplanar voxel-type texture arrays applied in shading
+    textured: bool = False
+    texture_scale: float = 0.5  # world units → uv tiling frequency
+    normal_map_strength: float = 1.0
     # raster triangle budget: the scene's (mostly inactive) triangle slots are
     # compacted to this many before clipping — the render-side analog of the
     # reference's chunk culling + indirect draws
@@ -99,6 +105,7 @@ class GBuffer(NamedTuple):
     f0: jnp.ndarray  # f32[H,W,3]
     roughness: jnp.ndarray  # f32[H,W]
     emissive: jnp.ndarray  # f32[H,W,3]
+    material: jnp.ndarray  # i32[H,W] texture layer (-1 = untextured)
     motion: jnp.ndarray  # f32[H,W,2] uv-space motion vectors
     valid: jnp.ndarray  # bool[H,W]
 
@@ -141,18 +148,41 @@ def geometry_pass(
         clip2, bary2, target, tri_clip.shape[0]
     )
 
-    interp = lambda attr, fill=0.0: rasterlib.interpolate_attribute(  # noqa: E731
-        attr if attr.ndim == 2 else attr[:, None],
-        scene.tri_indices, tri, bary, valid, fill,
+    # ONE packed per-pixel gather for all vertex attributes: separate gathers
+    # per attribute are ~5× slower on TPU (each pays the full random-row
+    # gather cost; packing amortizes it over 20 lanes)
+    packed = jnp.concatenate(
+        [
+            scene.vert_pos,  # 0:3
+            scene.vert_pos_prev,  # 3:6
+            scene.vert_normal,  # 6:9
+            scene.vert_albedo,  # 9:12
+            scene.vert_f0,  # 12:15
+            scene.vert_roughness[:, None],  # 15
+            scene.vert_emissive,  # 16:19
+            scene.vert_material.astype(jnp.float32)[:, None],  # 19
+        ],
+        axis=-1,
     )
-    world_pos = interp(scene.vert_pos)
-    world_pos_prev = interp(scene.vert_pos_prev)
-    normal = interp(scene.vert_normal)
+    vids = scene.tri_indices[tri]  # [H,W,3]
+    vals = packed[vids]  # [H,W,3,20] — the one gather
+    out = jnp.einsum("hwv,hwvk->hwk", bary, vals)
+    out = jnp.where(valid[..., None], out, 0.0)
+
+    world_pos = out[..., 0:3]
+    world_pos_prev = out[..., 3:6]
+    normal = out[..., 6:9]
     normal = normal / jnp.maximum(jnp.linalg.norm(normal, axis=-1, keepdims=True), 1e-9)
-    albedo = interp(scene.vert_albedo)
-    f0 = interp(scene.vert_f0)
-    roughness = interp(scene.vert_roughness)[..., 0]
-    emissive = interp(scene.vert_emissive)
+    albedo = out[..., 9:12]
+    f0 = out[..., 12:15]
+    roughness = out[..., 15]
+    emissive = out[..., 16:19]
+
+    # material index: nearest vertex (ints don't interpolate)
+    mats = vals[..., 19].astype(jnp.int32)  # [H,W,3]
+    nearest = jnp.argmax(bary, axis=-1)
+    material = jnp.take_along_axis(mats, nearest[..., None], axis=-1)[..., 0]
+    material = jnp.where(valid, material, -1)
 
     # motion vectors in uv units (ref: MotionVector attachment)
     hp_prev = jnp.concatenate(
@@ -169,7 +199,8 @@ def geometry_pass(
 
     return GBuffer(
         world_pos=world_pos, normal=normal, albedo=albedo, f0=f0,
-        roughness=roughness, emissive=emissive, motion=motion, valid=valid,
+        roughness=roughness, emissive=emissive, material=material,
+        motion=motion, valid=valid,
     )
 
 
@@ -235,12 +266,45 @@ def deferred_shade(
     omni_shadows,
     uni_shadows,
     config: RenderConfig,
+    textures=None,
 ):
     """AO + deferred lighting → HDR luminance [H,W,3] (ref: ambient +
-    directional light passes, AO computation/application)."""
+    directional light passes, AO computation/application).
+
+    ``textures``: optional ``VoxelTextureSet`` — applies triplanar albedo and
+    normal mapping to pixels whose material layer is ≥ 0 before lighting
+    (ref: impact_material TexturedColor/NormalMap, setup/physical.rs:36-166;
+    voxel-type texture arrays, voxel_types.rs)."""
     h, w = config.height, config.width
     vm = view_matrix(cam)
     hp_cur = jnp.concatenate([gb.world_pos, jnp.ones_like(gb.world_pos[..., :1])], -1)
+
+    if config.textured and textures is not None:
+        from .textures import lod_from_scale, sample_triplanar, triplanar_normal
+
+        has_tex = gb.material >= 0
+        layer = jnp.maximum(gb.material, 0)
+        # mip level from the texel footprint of one pixel at this depth
+        view_depth = -jnp.einsum("ij,hwj->hwi", vm, hp_cur)[..., 2]
+        tex_size = textures.albedo.mips[0].shape[1]
+        world_per_pixel = view_depth * (
+            2.0 * jnp.tan(0.5 * cam.vertical_fov) / h
+        )
+        lod = lod_from_scale(world_per_pixel * config.texture_scale * tex_size)
+        tex_albedo = sample_triplanar(
+            textures.albedo, layer, gb.world_pos, gb.normal,
+            config.texture_scale, lod,
+        )
+        metal_mask = jnp.any(gb.f0 > 0.5, axis=-1, keepdims=True)
+        albedo = jnp.where(
+            (has_tex & ~metal_mask[..., 0])[..., None], tex_albedo, gb.albedo
+        )
+        normal = triplanar_normal(
+            textures.normal, layer, gb.world_pos, gb.normal,
+            config.normal_map_strength, config.texture_scale, lod,
+        )
+        normal = jnp.where(has_tex[..., None], normal, gb.normal)
+        gb = gb._replace(albedo=albedo, normal=normal)
 
     if config.ao_enabled:
         vpos_h = jnp.einsum("ij,hwj->hwi", vm, hp_cur)[..., :3]
@@ -324,6 +388,7 @@ def render_frame(
     cam_prev: Camera,
     state: RenderState,
     config: RenderConfig,
+    textures=None,
 ):
     """Render one frame. Returns (u8 image [H,W,3], hdr luminance, new state).
 
@@ -333,5 +398,7 @@ def render_frame(
     scene = compact_scene_triangles(scene, config.max_triangles)
     gb = geometry_pass(scene, cam, cam_prev, state.frame_index, config)
     omni_shadows, uni_shadows = shadow_pass(scene, lights, cam, config)
-    lum = deferred_shade(gb, lights, cam, omni_shadows, uni_shadows, config)
+    lum = deferred_shade(
+        gb, lights, cam, omni_shadows, uni_shadows, config, textures
+    )
     return postprocess(lum, gb.motion, state, config)

@@ -115,6 +115,9 @@ def rasterize(
     chunk: int = 256,
     cull_backfaces: bool = True,
     method: str = "tiled",
+    k_per_tile: int = 128,
+    big_budget: int = 32,
+    tiles_per_chunk: int | None = None,
 ):
     """Z-buffer rasterization of T triangle slots into an H×W target.
 
@@ -132,7 +135,9 @@ def rasterize(
     clip2, bary2, act2 = clip_triangles_near(clip_pos, tri_active)
     if method == "tiled":
         target = _rasterize_clipped_tiled(
-            clip2, act2, height, width, cull_backfaces=cull_backfaces
+            clip2, act2, height, width, cull_backfaces=cull_backfaces,
+            k_per_tile=k_per_tile, big_budget=big_budget,
+            tiles_per_chunk=tiles_per_chunk,
         )
     else:
         target = _rasterize_clipped(clip2, act2, height, width, chunk, cull_backfaces)
@@ -159,8 +164,8 @@ def _rasterize_clipped_tiled(
     width: int,
     tile: int = 32,
     k_per_tile: int = 128,
-    big_budget: int = 256,
-    tiles_per_chunk: int = 32,
+    big_budget: int = 32,
+    tiles_per_chunk: int | None = None,
     cull_backfaces: bool = True,
 ) -> RasterTarget:
     """Tile-binned z-buffer raster.
@@ -168,15 +173,20 @@ def _rasterize_clipped_tiled(
     Small triangles (screen bbox spanning ≤2×2 tiles) are binned into
     (tile, triangle) pairs, sorted by (tile, depth) so each tile keeps its
     nearest ``k_per_tile`` candidates, and rasterized tile-locally. Triangles
-    spanning more tiles (ground planes, extreme close-ups — rare) go through
-    the brute-force chunk path with a ``big_budget`` bound; results merge by
-    depth. Sizes are static; overflow drops the FARTHEST candidates per tile,
-    which the z-buffer would almost always discard anyway.
+    spanning more tiles (ground planes, extreme close-ups — rare) are
+    appended to EVERY tile's candidate list through ``big_budget`` global
+    slots. Sizes are static; overflow drops the FARTHEST candidates (per tile
+    for small ones, globally for big ones), which the z-buffer would almost
+    always discard anyway.
     """
     t2 = clip_pos.shape[0]
     th = -(-height // tile)
     tw = -(-width // tile)
     n_tiles = th * tw
+    if tiles_per_chunk is None:
+        # fewer, fatter loop iterations amortize per-iteration overhead;
+        # bounded so the [TC, K, tile²] intermediates stay ~100 MB
+        tiles_per_chunk = max(8, min(128, n_tiles, (1 << 25) // (k_per_tile * tile * tile)))
 
     sx, sy, z, valid = _screen_coords(clip_pos, height, width)  # [T2,3]
     act = tri_active & jnp.all(valid, axis=-1)
@@ -225,6 +235,12 @@ def _rasterize_clipped_tiled(
     )
     counts = (ends - starts).astype(jnp.int32)
 
+    # big triangles: nearest-first global candidate list shared by every tile
+    nb = min(big_budget, t2)
+    big_key = jnp.where(big, tri_near_z, jnp.inf)
+    big_order = jnp.argsort(big_key)[:nb].astype(jnp.int32)
+    big_sel = big[big_order]  # [B]
+
     # gather triangle screen data once (flat, reused by every tile chunk)
     ax, ay, az = sx[:, 0], sy[:, 0], z[:, 0]
     bx, by, bz = sx[:, 1], sy[:, 1], z[:, 1]
@@ -259,6 +275,13 @@ def _rasterize_clipped_tiled(
         have = jnp.arange(k, dtype=jnp.int32)[None, :] < cn[:, None]
         idx = jnp.clip(idx, 0, tri_sorted.shape[0] - 1)
         tri = tri_sorted[idx]  # [TC,K] clipped-slot ids
+        # append the global big-triangle candidates to every tile
+        tri = jnp.concatenate(
+            [tri, jnp.broadcast_to(big_order[None, :], (tc, nb))], axis=1
+        )
+        have = jnp.concatenate(
+            [have, jnp.broadcast_to(big_sel[None, :], (tc, nb))], axis=1
+        )
 
         # per-candidate screen coords relative to tile origin
         rax = ax[tri] - x0[:, None]
@@ -316,34 +339,6 @@ def _rasterize_clipped_tiled(
         .reshape(th, tw, tile, tile)
         .transpose(0, 2, 1, 3)
         .reshape(th * tile, tw * tile)[:height, :width]
-    )
-
-    # --- big triangles: brute-force with a static budget --------------------
-    any_big = jnp.any(big)
-    nb = min(big_budget, t2)
-    # nearest-first so overflow drops the farthest big triangles
-    big_key = jnp.where(big, tri_near_z, jnp.inf)
-    big_order = jnp.argsort(big_key)[:nb]
-    big_sel = big[big_order]
-
-    def do_big(args):
-        depth, tri_id = args
-        cp_big = clip_pos[big_order]
-        tgt = _rasterize_clipped(
-            cp_big, big_sel, height, width, chunk=min(64, nb),
-            cull_backfaces=cull_backfaces,
-        )
-        big_tri_global = jnp.where(
-            tgt.tri_id >= 0, big_order[jnp.maximum(tgt.tri_id, 0)], NO_TRI
-        )
-        closer = tgt.depth < depth
-        return (
-            jnp.where(closer, tgt.depth, depth),
-            jnp.where(closer, big_tri_global, tri_id),
-        )
-
-    depth, tri_id = jax.lax.cond(
-        any_big, do_big, lambda a: a, (depth, tri_id)
     )
     return RasterTarget(depth=depth, tri_id=tri_id)
 

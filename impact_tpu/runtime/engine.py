@@ -67,6 +67,7 @@ class SimState(NamedTuple):
     phys: PhysicsState
     voxels: VoxelObjectPool
     meshes: CompactMesh  # [O, ...] compacted surface meshes
+    probes: "VoxelProbes"  # [O,P] cached collision probes (refresh on remesh)
     render: RenderState
     prev_position: jnp.ndarray  # f32[N,3] body poses at previous frame
     prev_orientation: jnp.ndarray  # f32[N,4]
@@ -86,6 +87,11 @@ class EngineParams(NamedTuple):
     fracture_radius: jnp.ndarray  # f32[O]
     camera: Camera
     static_geometry: StaticGeometry
+
+
+def gather_objects(pool: VoxelObjectPool, idx) -> VoxelObjectPool:
+    """Subset view of the pool at object slots ``idx`` (i32[R])."""
+    return jax.tree.map(lambda a: a[idx], pool)
 
 
 def _sync_voxel_bodies(phys: PhysicsState, pool: VoxelObjectPool, type_density, sync_mask):
@@ -180,19 +186,32 @@ def make_engine_step(
     enable_absorption: bool = True,
     enable_splitting: bool = True,
     enable_fracturing: bool = True,
+    remesh_budget: int | None = None,
 ):
-    """Build the jitted engine step closure (static features baked in)."""
+    """Build the jitted engine step closure (static features baked in).
+
+    ``remesh_budget``: max voxel objects re-synced/re-meshed per step (the
+    incremental analog of the reference's invalidated-chunk remeshing,
+    mesh.rs:360 — objects beyond the budget stay dirty and are processed on
+    following steps). Default min(O, 4).
+    """
     dt = config.physics.simulator.initial_time_step_duration
     n_substeps = config.physics.simulator.n_substeps
     solver_cfg = config.physics.constraint_solver
     max_contacts = config.tpu.max_contacts
     solver_mode = config.tpu.solver_mode
+    o_max = config.tpu.max_voxel_objects
+    if remesh_budget is None:
+        remesh_budget = min(o_max, 4)
 
-    def extra_contacts(pool, params):
-        # probes depend only on the voxel grids, which are constant across the
-        # substeps of one engine step — extract once per step, not per substep
-        probes = extract_probes(pool, params.voxel_response)
+    # scenes without absorbers skip the O(O·G³) absorption pass entirely
+    # (static decision — the absorber pools are scene constants)
+    has_absorbers = bool(
+        np.any(np.asarray(params.absorbers.sph_mask))
+        or np.any(np.asarray(params.absorbers.cap_mask))
+    )
 
+    def extra_contacts(pool, probes, params):
         def fn(bodies, contacts):
             vc = voxel_contacts(
                 pool, probes, params.phys_params.collidables,
@@ -207,17 +226,19 @@ def make_engine_step(
         prev_pos = phys.bodies.position
         prev_ori = phys.bodies.orientation
 
-        # 1. physics (with voxel probe contacts merged in)
+        # 1. physics (with cached voxel probe contacts merged in)
         phys = physics_step(
             phys, params.phys_params, dt, n_substeps, solver_cfg,
             max_contacts, solver_mode,
             extra_contacts_fn=(
-                extra_contacts(pool, params) if enable_voxel_contacts else None
+                extra_contacts(pool, sim.probes, params)
+                if enable_voxel_contacts
+                else None
             ),
         )
 
         # 2. absorption (ref task ApplyVoxelAbsorption)
-        if enable_absorption:
+        if enable_absorption and has_absorbers:
             pool = apply_absorption(
                 pool, params.absorbers, phys.bodies.position, phys.bodies.orientation
             )
@@ -232,28 +253,63 @@ def make_engine_step(
         if enable_splitting:
             phys, pool = _maybe_split(phys, pool)
 
-        # 5. inertia/COM sync + remesh for dirty objects
+        # 5. inertia/COM sync + remesh + probe refresh for up to
+        #    ``remesh_budget`` dirty objects (gathered — cost is O(R·G³), not
+        #    O(O·G³); the rest stay dirty for following steps)
         dirty = pool.mesh_dirty
         any_dirty = jnp.any(dirty)
 
         def do_sync(args):
-            phys, pool, meshes = args
-            phys2, pool2 = _sync_voxel_bodies(
-                phys, pool, params.type_density, dirty
+            phys, pool, meshes, probes = args
+            order = jnp.argsort(~dirty, stable=True)[:remesh_budget].astype(
+                jnp.int32
             )
-            full = surface_nets_batched(pool2.sdf, pool2.vtype)
-            meshes2 = compact_mesh_batched(full, mesh_vert_cap, mesh_tri_cap)
-            pool2 = pool2._replace(mesh_dirty=jnp.zeros_like(pool2.mesh_dirty))
-            return phys2, pool2, meshes2
+            sel = dirty[order]  # [R]
+            sub = gather_objects(pool, order)
+            phys2, sub2 = _sync_voxel_bodies(
+                phys, sub, params.type_density, sel
+            )
+            pool2 = pool._replace(
+                origin=pool.origin.at[order].set(
+                    jnp.where(sel[:, None], sub2.origin, pool.origin[order])
+                ),
+                mesh_dirty=pool.mesh_dirty.at[order].set(
+                    jnp.where(sel, False, pool.mesh_dirty[order])
+                ),
+            )
+            sub2 = sub2._replace(origin=pool2.origin[order])
+            full = surface_nets_batched(sub2.sdf, sub2.vtype)
+            sub_mesh = compact_mesh_batched(full, mesh_vert_cap, mesh_tri_cap)
+            meshes2 = jax.tree.map(
+                lambda old, new: old.at[order].set(
+                    jnp.where(
+                        sel.reshape((-1,) + (1,) * (new.ndim - 1)), new, old[order]
+                    )
+                ),
+                meshes,
+                sub_mesh,
+            )
+            sub_probes = extract_probes(sub2, params.voxel_response[order])
+            probes2 = jax.tree.map(
+                lambda old, new: old.at[order].set(
+                    jnp.where(
+                        sel.reshape((-1,) + (1,) * (new.ndim - 1)), new, old[order]
+                    )
+                ),
+                probes,
+                sub_probes,
+            )
+            return phys2, pool2, meshes2, probes2
 
-        phys, pool, meshes = jax.lax.cond(
-            any_dirty, do_sync, lambda a: a, (phys, pool, sim.meshes)
+        phys, pool, meshes, probes = jax.lax.cond(
+            any_dirty, do_sync, lambda a: a, (phys, pool, sim.meshes, sim.probes)
         )
 
         return SimState(
             phys=phys,
             voxels=pool,
             meshes=meshes,
+            probes=probes,
             render=sim.render,
             prev_position=prev_pos,
             prev_orientation=prev_ori,

@@ -99,9 +99,21 @@ class HeadlessRuntime:
         self._shadows = jax.jit(
             lambda scene: shadow_pass(scene, params.lights, params.camera, rc)
         )
+        if rc.textured:
+            from ..render.textures import (
+                VoxelTextureSet,
+                default_voxel_texture_arrays,
+            )
+
+            alb, nrm = default_voxel_texture_arrays(
+                registry_.n_types, self.config.tpu.texture_resolution
+            )
+            self._textures = VoxelTextureSet(albedo=alb, normal=nrm)
+        else:
+            self._textures = None
         self._shade = jax.jit(
-            lambda gb, omni, uni: deferred_shade(
-                gb, params.lights, params.camera, omni, uni, rc
+            lambda gb, omni, uni, tex: deferred_shade(
+                gb, params.lights, params.camera, omni, uni, rc, tex
             )
         )
         self._post = jax.jit(
@@ -112,7 +124,7 @@ class HeadlessRuntime:
             scene = self._scene_of(sim)
             gb = self._geometry(scene, sim.render.frame_index)
             omni, uni = self._shadows(scene)
-            lum = self._shade(gb, omni, uni)
+            lum = self._shade(gb, omni, uni, self._textures)
             img, hdr, rstate = self._post(lum, gb.motion, sim.render)
             return img, sim._replace(render=rstate)
 

@@ -100,7 +100,35 @@ def compile_scene(
     static_geometry=None,
     rng_seed: int = 0,
 ) -> SceneBuildResult:
-    """Lower the ECS world into device state (the setup pipeline)."""
+    """Lower the ECS world into device state (the setup pipeline).
+
+    The one-time array work (SDF generation, initial meshing, inertia) runs on
+    CPU — compiling those programs for the accelerator costs minutes and buys
+    nothing for a single execution — then the finished state is transferred to
+    the default device for the hot loop."""
+    target = jax.devices()[0]
+    cpu = jax.devices("cpu")[0]
+    if target.platform == "cpu":
+        return _compile_scene_impl(
+            world, config, registry, sdf_generators, static_geometry, rng_seed
+        )
+    with jax.default_device(cpu):
+        build = _compile_scene_impl(
+            world, config, registry, sdf_generators, static_geometry, rng_seed
+        )
+    build.sim = jax.device_put(build.sim, target)
+    build.params = jax.device_put(build.params, target)
+    return build
+
+
+def _compile_scene_impl(
+    world: World,
+    config: EngineConfig,
+    registry: VoxelTypeRegistry | None = None,
+    sdf_generators: dict | None = None,
+    static_geometry=None,
+    rng_seed: int = 0,
+) -> SceneBuildResult:
     registry = registry or default_registry()
     sdf_generators = sdf_generators or {}
     tc = config.tpu
@@ -626,6 +654,23 @@ def compile_scene(
         medium_velocity=np.asarray(config.physics.medium.velocity, np.float32),
     )
 
+    # trim light pools to the scene's actual counts (static per scene) so
+    # shadow passes and shading never process masked-off light slots
+    n_omni = max(1, cursor["omni"])
+    n_uni = max(1, cursor["uni"])
+    lights = lights._replace(
+        **{
+            k: getattr(lights, k)[:n_omni]
+            for k in lights._fields
+            if k.startswith("omni_")
+        },
+        **{
+            k: getattr(lights, k)[:n_uni]
+            for k in lights._fields
+            if k.startswith("uni_")
+        },
+    )
+
     # commit numpy staging to device arrays
     bodies = _committed(bodies)
     coll = _committed(coll)
@@ -678,12 +723,14 @@ def compile_scene(
     pool = pool._replace(mesh_dirty=jnp.zeros_like(pool.mesh_dirty))
 
     from ..render.pipeline import RenderConfig, init_render_state
+    from ..voxel.collision import extract_probes
 
     render_cfg = render_config_from_engine_config(config)
     sim = SimState(
         phys=phys,
         voxels=pool,
         meshes=meshes,
+        probes=extract_probes(pool, jnp.asarray(voxel_response)),
         render=init_render_state(render_cfg),
         prev_position=phys.bodies.position,
         prev_orientation=phys.bodies.orientation,
@@ -720,6 +767,7 @@ def _build_static_geometry(user_geometry, ground_planes):
             vert_f0=jnp.concatenate([out.vert_f0, p.vert_f0]),
             vert_roughness=jnp.concatenate([out.vert_roughness, p.vert_roughness]),
             vert_emissive=jnp.concatenate([out.vert_emissive, p.vert_emissive]),
+            vert_material=jnp.concatenate([out.vert_material, p.vert_material]),
             tri_indices=jnp.concatenate([out.tri_indices, p.tri_indices + base]),
             tri_active=jnp.concatenate([out.tri_active, p.tri_active]),
         )
@@ -740,9 +788,7 @@ def render_config_from_engine_config(config: EngineConfig):
     return RenderConfig(
         width=config.tpu.render_width,
         height=config.tpu.render_height,
-        shadow_map_resolution=min(
-            r.shadow_mapping.omnidirectional_light_shadow_map_resolution, 256
-        ),
+        shadow_map_resolution=r.shadow_mapping.omnidirectional_light_shadow_map_resolution,
         ao_enabled=r.ambient_occlusion.enabled,
         ao_sample_count=r.ambient_occlusion.sample_count,
         ao_sample_radius=r.ambient_occlusion.sample_radius,
@@ -763,5 +809,7 @@ def render_config_from_engine_config(config: EngineConfig):
         tone_mapping=tone,
         shadows_enabled=r.shadow_mapping.enabled,
         csm_cascades=config.tpu.csm_cascades,
+        max_triangles=config.tpu.max_render_triangles,
+        textured=config.tpu.textured_voxels,
         sky_luminance=(3000.0, 4500.0, 9000.0),
     )

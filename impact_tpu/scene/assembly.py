@@ -31,6 +31,7 @@ class StaticGeometry(NamedTuple):
     vert_f0: jnp.ndarray  # f32[Vs,3]
     vert_roughness: jnp.ndarray  # f32[Vs]
     vert_emissive: jnp.ndarray  # f32[Vs,3]
+    vert_material: jnp.ndarray  # i32[Vs] voxel-type/texture layer, -1 untextured
     tri_indices: jnp.ndarray  # i32[Ts,3]
     tri_active: jnp.ndarray  # bool[Ts]
 
@@ -43,6 +44,7 @@ def empty_static_geometry() -> StaticGeometry:
         vert_f0=jnp.zeros((0, 3), jnp.float32),
         vert_roughness=jnp.zeros((0,), jnp.float32),
         vert_emissive=jnp.zeros((0, 3), jnp.float32),
+        vert_material=jnp.zeros((0,), jnp.int32),
         tri_indices=jnp.zeros((0, 3), jnp.int32),
         tri_active=jnp.zeros((0,), bool),
     )
@@ -73,6 +75,7 @@ def ground_plane_geometry(
         vert_f0=jnp.full((4, 3), 0.04, jnp.float32),
         vert_roughness=jnp.full(4, roughness, jnp.float32),
         vert_emissive=jnp.zeros((4, 3), jnp.float32),
+        vert_material=jnp.full((4,), -1, jnp.int32),
         tri_indices=tris,
         tri_active=jnp.ones(2, bool),
     )
@@ -105,9 +108,16 @@ def build_render_scene(
     world_prev = quat.rotate(qp, local) + xp
     normal_world = quat.rotate(q, meshes.vert_normal)
 
-    albedo, f0, roughness, emissive = material_params_for_types(
-        registry, meshes.vert_type
-    )
+    # two-material vertex blend (ref: surface_nets.rs ≤7-material weights —
+    # a boundary cell carries its top-2 types; interpolation across the
+    # triangle smooths the transition per pixel)
+    a1, f1, r1, e1 = material_params_for_types(registry, meshes.vert_type)
+    a2, f2, r2, e2 = material_params_for_types(registry, meshes.vert_type2)
+    b = meshes.vert_blend[..., None]
+    albedo = a1 * (1 - b) + a2 * b
+    f0 = f1 * (1 - b) + f2 * b
+    roughness = r1 * (1 - b[..., 0]) + r2 * b[..., 0]
+    emissive = e1 * (1 - b) + e2 * b
 
     vert_ok = meshes.vert_active & pool.alive[:, None]
     tri_ok = meshes.tri_active & pool.alive[:, None]
@@ -135,6 +145,16 @@ def build_render_scene(
         ),
         vert_emissive=jnp.concatenate(
             [emissive.reshape(-1, 3), static_geometry.vert_emissive]
+        ),
+        vert_material=jnp.concatenate(
+            [
+                jnp.where(
+                    (meshes.vert_active & pool.alive[:, None]).reshape(-1),
+                    meshes.vert_type.reshape(-1),
+                    -1,
+                ),
+                static_geometry.vert_material,
+            ]
         ),
         tri_indices=jnp.concatenate(
             [tri_idx_flat, static_geometry.tri_indices + base]

@@ -312,6 +312,7 @@ def mesh_to_static_geometry(mesh: TriangleMesh, albedo=(0.6, 0.6, 0.6), f0=0.04,
         vert_f0=jnp.full((v, 3), f0, jnp.float32),
         vert_roughness=jnp.full(v, roughness, jnp.float32),
         vert_emissive=jnp.tile(jnp.asarray([emissive], jnp.float32), (v, 1)),
+        vert_material=jnp.full((v,), -1, jnp.int32),
         tri_indices=jnp.asarray(mesh.indices),
         tri_active=jnp.ones(len(mesh.indices), bool),
     )

@@ -283,6 +283,9 @@ class TpuConfig:
     render_height: int = 192
     solver_mode: str = "scan"  # "scan" (Gauss-Seidel parity) | "jacobi" (scale)
     csm_cascades: int = 1  # directional shadow cascades (reference max: 4)
+    max_render_triangles: int = 65536  # raster budget after slot compaction
+    textured_voxels: bool = False  # triplanar voxel-type texture arrays
+    texture_resolution: int = 64  # procedural texture-array base size
 
 
 @dataclass

@@ -107,17 +107,62 @@ def sample_sdf_trilinear(sdf, pts_grid):
     return c0 * (1 - fz) + c1 * fz
 
 
-def sample_sdf_gradient(sdf, pts_grid, eps=0.5):
-    """Central-difference SDF gradient in grid units at grid-space points."""
-    def d(axis):
-        e = jnp.zeros(3).at[axis].set(eps)
-        return (
-            sample_sdf_trilinear(sdf, pts_grid + e)
-            - sample_sdf_trilinear(sdf, pts_grid - e)
-        ) / (2 * eps)
+def sample_sdf_trilinear_with_gradient(sdf, pts_grid):
+    """(value, unit gradient) of the trilinear interpolant at grid-space
+    points [...,3]. The gradient is ANALYTIC — differences of the same 8
+    gathered corners — so it costs no extra gathers (vs 6 more trilinear
+    samples for central differences: 7× fewer gather rows, the hot cost of
+    voxel-voxel contact sampling on TPU)."""
+    g = sdf.shape[0]
+    q = pts_grid - 0.5
+    q0f = jnp.floor(q)
+    f = q - q0f
+    q0 = q0f.astype(jnp.int32)
 
-    grad = jnp.stack([d(0), d(1), d(2)], axis=-1)
-    return grad / jnp.maximum(jnp.linalg.norm(grad, axis=-1, keepdims=True), 1e-9)
+    def at(dx, dy, dz):
+        idx = jnp.clip(q0 + jnp.array([dx, dy, dz]), 0, g - 1)
+        return sdf[idx[..., 0], idx[..., 1], idx[..., 2]]
+
+    c000, c100 = at(0, 0, 0), at(1, 0, 0)
+    c010, c110 = at(0, 1, 0), at(1, 1, 0)
+    c001, c101 = at(0, 0, 1), at(1, 0, 1)
+    c011, c111 = at(0, 1, 1), at(1, 1, 1)
+    fx, fy, fz = f[..., 0], f[..., 1], f[..., 2]
+
+    # interpolate along x
+    c00 = c000 * (1 - fx) + c100 * fx
+    c10 = c010 * (1 - fx) + c110 * fx
+    c01 = c001 * (1 - fx) + c101 * fx
+    c11 = c011 * (1 - fx) + c111 * fx
+    c0 = c00 * (1 - fy) + c10 * fy
+    c1 = c01 * (1 - fy) + c11 * fy
+    value = c0 * (1 - fz) + c1 * fz
+
+    # analytic partials of the trilinear form
+    dx00, dx10 = c100 - c000, c110 - c010
+    dx01, dx11 = c101 - c001, c111 - c011
+    gx = (dx00 * (1 - fy) + dx10 * fy) * (1 - fz) + (
+        dx01 * (1 - fy) + dx11 * fy
+    ) * fz
+    gy = ((c10 - c00) * (1 - fz)) + ((c11 - c01) * fz)
+    gz = c1 - c0
+    grad = jnp.stack([gx, gy, gz], axis=-1)
+    grad = grad / jnp.maximum(jnp.linalg.norm(grad, axis=-1, keepdims=True), 1e-9)
+    return value, grad
+
+
+def sample_sdf_gradient(sdf, pts_grid, eps=0.5):
+    """Unit SDF gradient at grid-space points (analytic trilinear partials)."""
+    return sample_sdf_trilinear_with_gradient(sdf, pts_grid)[1]
+
+
+def bounding_radii(pool: VoxelObjectPool):
+    """Conservative per-object bounding-sphere radius about the body origin
+    (the grid box diagonal — cheap, never under-estimates)."""
+    g = pool.grid_size
+    half = 0.5 * g * pool.voxel_extent
+    center_off = jnp.linalg.norm(pool.origin + half[:, None], axis=-1)
+    return center_off + half * jnp.sqrt(3.0)
 
 
 def voxel_contacts(
@@ -127,10 +172,20 @@ def voxel_contacts(
     body_position,
     body_orientation,
     max_contacts: int,
+    max_pairs: int | None = None,
 ) -> ContactBuffer:
     """Generate voxel contacts: probes vs planes, spheres, and other voxel
-    objects. Returns a compacted ContactBuffer with keys ≥ VOXEL_KEY_BASE."""
+    objects. Returns a compacted ContactBuffer with keys ≥ VOXEL_KEY_BASE.
+
+    Voxel-vs-voxel sampling is broad-phase prefiltered: only object pairs
+    whose bounding spheres overlap are SDF-probed, compacted to a static
+    ``max_pairs`` budget (ref: the reference delegates its broad phase to the
+    scene BVH, collision.rs:215-245; a bounding-sphere prefilter is the
+    masked-pool analog — O(O²) cheap mask math, O(max_pairs·P) expensive
+    gathers instead of O(O²·P))."""
     o, p = probes.active.shape
+    if max_pairs is None:
+        max_pairs = min(o * o, max(16, 4 * o))
 
     # world-space probes
     body_idx = pool.body_index  # i32[O]
@@ -218,30 +273,46 @@ def voxel_contacts(
 
     def sample_pair(a_obj, b_obj):
         pts = to_grid_of(b_obj, probe_world[a_obj])  # [P,3] grid coords of B
-        d = sample_sdf_trilinear(pool.sdf[b_obj], pts) * pool.voxel_extent[b_obj]
-        g_local = sample_sdf_gradient(pool.sdf[b_obj], pts)
+        d, g_local = sample_sdf_trilinear_with_gradient(pool.sdf[b_obj], pts)
+        d = d * pool.voxel_extent[b_obj]
         n_world = quat.rotate(q_b[b_obj][None], g_local)
         return d, n_world
 
-    pair_a, pair_b = jnp.meshgrid(jnp.arange(o), jnp.arange(o), indexing="ij")
-    pair_a = pair_a.reshape(-1)
-    pair_b = pair_b.reshape(-1)
-    d_ab, n_ab = jax.vmap(sample_pair)(pair_a, pair_b)  # [O²,P], [O²,P,3]
-    d_ab = d_ab.reshape(o, o, p)
-    n_ab = n_ab.reshape(o, o, p, 3)
-    dep = 0.5 * pool.voxel_extent[:, None, None] - d_ab
+    # broad phase: bounding-sphere overlap → static pair budget
+    radii = bounding_radii(pool)
+    sep = jnp.linalg.norm(
+        x_b[:, None, :] - x_b[None, :, :], axis=-1
+    )  # [O,O] body-origin distances
+    margin = 0.5 * (pool.voxel_extent[:, None] + pool.voxel_extent[None, :])
+    overlap = sep < radii[:, None] + radii[None, :] + margin
     valid_pair = (
-        pool.alive[:, None] & pool.alive[None, :] & (jnp.arange(o)[:, None] != jnp.arange(o)[None, :])
+        pool.alive[:, None]
+        & pool.alive[None, :]
+        & (jnp.arange(o)[:, None] != jnp.arange(o)[None, :])
+        & overlap
     )
-    active = probes.active[:, None, :] & valid_pair[:, :, None] & (dep >= 0.0)
-    pos = jnp.broadcast_to(probe_world[:, None], (o, o, p, 3))
+    flat_valid = valid_pair.reshape(-1)
+    order = jnp.argsort(~flat_valid, stable=True)[:max_pairs]
+    pair_valid = flat_valid[order]
+    pair_a = (order // o).astype(jnp.int32)
+    pair_b = (order % o).astype(jnp.int32)
+
+    d_ab, n_ab = jax.vmap(sample_pair)(pair_a, pair_b)  # [MP,P], [MP,P,3]
+    dep = 0.5 * pool.voxel_extent[pair_a][:, None] - d_ab
+    active = probes.active[pair_a] & pair_valid[:, None] & (dep >= 0.0)
+    pos = probe_world[pair_a]  # [MP,P,3]
     resp = _combine(
-        probes.response[:, None, :, :],
-        jnp.broadcast_to(probes.response[None, :, :1, :], (o, o, p, 3)),
+        probes.response[pair_a],
+        jnp.broadcast_to(probes.response[pair_b][:, :1, :], (max_pairs, p, 3)),
     )
-    key = key_cursor + jnp.arange(o * o * p, dtype=jnp.uint32).reshape(o, o, p)
-    ba = jnp.broadcast_to(body_idx[:, None, None], (o, o, p))
-    bb = jnp.broadcast_to(body_idx[None, :, None], (o, o, p))
+    # stable warm-start keys derived from the (a,b) pair, not the slot
+    key = (
+        key_cursor
+        + (pair_a.astype(jnp.uint32) * o + pair_b.astype(jnp.uint32))[:, None] * p
+        + jnp.arange(p, dtype=jnp.uint32)[None, :]
+    )
+    ba = jnp.broadcast_to(body_idx[pair_a][:, None], (max_pairs, p))
+    bb = jnp.broadcast_to(body_idx[pair_b][:, None], (max_pairs, p))
     emit(key, active, ba, bb, pos, n_ab, dep, resp)
 
     return compact_contacts(

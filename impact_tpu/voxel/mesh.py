@@ -34,6 +34,8 @@ class SurfaceNetsMesh(NamedTuple):
     vert_pos: jnp.ndarray  # f32[C,3] grid units
     vert_normal: jnp.ndarray  # f32[C,3] unit outward normal
     vert_type: jnp.ndarray  # i32[C] dominant material at vertex
+    vert_type2: jnp.ndarray  # i32[C] second material (== vert_type when pure)
+    vert_blend: jnp.ndarray  # f32[C] weight of vert_type2 in [0, 0.5]
     tri_active: jnp.ndarray  # bool[T]
     tri_indices: jnp.ndarray  # i32[T,3] cell-slot indices
 
@@ -97,14 +99,35 @@ def surface_nets(sdf, vtype):
         jnp.linalg.norm(normal, axis=-1, keepdims=True), 1e-12
     )
 
-    # dominant material: type of the deepest (most negative SDF) inside corner
+    # material blending: weight each inside corner by its depth (−sdf), sum
+    # weights per distinct type, keep the top two (the TPU analog of the
+    # reference's ≤7 blended materials per vertex, surface_nets.rs:39-50 —
+    # two types cover a boundary cell; pixel-level barycentric blending in the
+    # geometry pass smooths across vertices)
     corner_types = jnp.stack(
         [vtype[dx : dx + gc, dy : dy + gc, dz : dz + gc] for (dx, dy, dz) in _CORNER_OFFSETS],
         axis=-1,
     )
-    masked_d = jnp.where(inside, corners, jnp.inf)
-    best = jnp.argmin(masked_d, axis=-1)
+    w_corner = jnp.where(inside, jnp.maximum(-corners, 1e-6), 0.0)  # [...,8]
+    # per-corner type weight: total weight of corners sharing its type
+    same = corner_types[..., :, None] == corner_types[..., None, :]  # [...,8,8]
+    w_type = jnp.sum(jnp.where(same, w_corner[..., None, :], 0.0), axis=-1)
+    w_type = jnp.where(inside, w_type, -1.0)
+    best = jnp.argmax(w_type, axis=-1)
     vert_type = jnp.take_along_axis(corner_types, best[..., None], axis=-1)[..., 0]
+    w1 = jnp.take_along_axis(w_type, best[..., None], axis=-1)[..., 0]
+    other = corner_types != vert_type[..., None]
+    w_other = jnp.where(other & inside, w_type, -1.0)
+    best2 = jnp.argmax(w_other, axis=-1)
+    w2 = jnp.maximum(
+        jnp.take_along_axis(w_other, best2[..., None], axis=-1)[..., 0], 0.0
+    )
+    vert_type2 = jnp.where(
+        w2 > 0.0,
+        jnp.take_along_axis(corner_types, best2[..., None], axis=-1)[..., 0],
+        vert_type,
+    )
+    vert_blend = w2 / jnp.maximum(w1 + w2, 1e-9)
 
     c = gc * gc * gc
     cell_linear = (
@@ -170,6 +193,8 @@ def surface_nets(sdf, vtype):
         vert_pos=vert_pos.reshape(-1, 3),
         vert_normal=normal.reshape(-1, 3),
         vert_type=vert_type.reshape(-1),
+        vert_type2=vert_type2.reshape(-1),
+        vert_blend=vert_blend.reshape(-1),
         tri_active=tri_active,
         tri_indices=tri_indices,
     )
@@ -199,6 +224,8 @@ class CompactMesh(NamedTuple):
     vert_pos: jnp.ndarray  # f32[Vc,3] grid units
     vert_normal: jnp.ndarray  # f32[Vc,3]
     vert_type: jnp.ndarray  # i32[Vc]
+    vert_type2: jnp.ndarray  # i32[Vc]
+    vert_blend: jnp.ndarray  # f32[Vc]
     tri_active: jnp.ndarray  # bool[Tc]
     tri_indices: jnp.ndarray  # i32[Tc,3] into the compacted vertex slots
 
@@ -231,6 +258,8 @@ def compact_mesh(mesh: SurfaceNetsMesh, vert_cap: int, tri_cap: int) -> CompactM
         vert_pos=mesh.vert_pos[vsel],
         vert_normal=mesh.vert_normal[vsel],
         vert_type=mesh.vert_type[vsel],
+        vert_type2=mesh.vert_type2[vsel],
+        vert_blend=mesh.vert_blend[vsel],
         tri_active=tact,
         tri_indices=tidx,
     )

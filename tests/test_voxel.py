@@ -117,6 +117,27 @@ class TestSurfaceNets:
         # just sanity-check T ≈ 2V (closed quad mesh)
         assert 1.5 < nt / nv < 2.5
 
+    def test_material_blending_at_type_boundary(self):
+        """Vertices on a two-type boundary carry both types with nonzero blend
+        (ref: surface_nets.rs:39-50 ≤7-material vertex weights)."""
+        s, _ = generate_sdf_grid(sdflib.sphere(6.0), G, 1.0)
+        vt = jnp.where(
+            jnp.arange(G)[:, None, None] < G // 2, 0, 1
+        ) * jnp.ones((G, G, G), jnp.int32)
+        mesh = surface_nets(s, vt)
+        act = np.asarray(mesh.vert_active)
+        t1 = np.asarray(mesh.vert_type)[act]
+        t2 = np.asarray(mesh.vert_type2)[act]
+        blend = np.asarray(mesh.vert_blend)[act]
+        # both pure regions exist
+        assert set(np.unique(t1)) == {0, 1}
+        # boundary vertices blend the two types
+        mixed = t1 != t2
+        assert mixed.any()
+        assert (blend[mixed] > 0.0).all() and (blend[mixed] <= 0.5 + 1e-6).all()
+        # pure vertices do not blend
+        assert np.allclose(blend[~mixed], 0.0)
+
     def test_vertices_near_surface(self):
         r = 6.0
         s, origin = generate_sdf_grid(sdflib.sphere(r), G, 1.0)
