@@ -154,17 +154,26 @@ def render_uni_shadow_map(
 
 
 def _sample_shadow_pcf(depth_map, uv, depth_ref, bias=2e-3):
-    """3×3 PCF lookup. uv in [0,1]², depth_ref the receiver's light-space
-    depth. Returns visibility in [0,1] (PCSS-style softening slot-in later)."""
+    """Bilinear-weighted 4-tap PCF. uv in [0,1]², depth_ref the receiver's
+    light-space depth. Returns visibility in [0,1].
+
+    4 taps with bilinear weights filter as smoothly as a 3×3 box while doing
+    2.25× fewer gathers — the shadow lookup gathers dominate the whole
+    deferred-shading pass on TPU."""
     s = depth_map.shape[0]
     base = uv * s - 0.5
+    b0 = jnp.floor(base)
+    f = base - b0
+    b0 = b0.astype(jnp.int32)
     vis = 0.0
-    for dy in (-1, 0, 1):
-        for dx in (-1, 0, 1):
-            p = jnp.clip(jnp.floor(base).astype(jnp.int32) + jnp.array([dy, dx]), 0, s - 1)
+    for dy in (0, 1):
+        for dx in (0, 1):
+            p = jnp.clip(b0 + jnp.array([dx, dy]), 0, s - 1)
             d = depth_map[p[..., 1], p[..., 0]]
-            vis = vis + (depth_ref - bias <= d)
-    return vis / 9.0
+            wx = f[..., 0] if dx else 1.0 - f[..., 0]
+            wy = f[..., 1] if dy else 1.0 - f[..., 1]
+            vis = vis + wx * wy * (depth_ref - bias <= d)
+    return vis
 
 
 def omni_shadow_visibility(light_pos, shadow_depths, shadow_vps, world_pos):
@@ -189,18 +198,21 @@ def omni_shadow_visibility(light_pos, shadow_depths, shadow_vps, world_pos):
     uv = jnp.stack([ndc[..., 0] * 0.5 + 0.5, 0.5 - ndc[..., 1] * 0.5], -1)
     depth_ref = ndc[..., 2]
 
-    # gather per-pixel from the selected face (vectorized gather)
+    # gather per-pixel from the selected face (bilinear 4-tap PCF)
     s = shadow_depths.shape[-1]
     base = uv * s - 0.5
+    b0 = jnp.floor(base)
+    f = base - b0
+    b0 = b0.astype(jnp.int32)
     vis = 0.0
-    for dy in (-1, 0, 1):
-        for dx in (-1, 0, 1):
-            p = jnp.clip(
-                jnp.floor(base).astype(jnp.int32) + jnp.array([dy, dx]), 0, s - 1
-            )
+    for dy in (0, 1):
+        for dx in (0, 1):
+            p = jnp.clip(b0 + jnp.array([dx, dy]), 0, s - 1)
             d = shadow_depths[face, p[..., 1], p[..., 0]]
-            vis = vis + (depth_ref - 2e-3 <= d)
-    return vis / 9.0
+            wx = f[..., 0] if dx else 1.0 - f[..., 0]
+            wy = f[..., 1] if dy else 1.0 - f[..., 1]
+            vis = vis + wx * wy * (depth_ref - 2e-3 <= d)
+    return vis
 
 
 def uni_shadow_visibility(shadow_depth, shadow_vp, world_pos):
@@ -230,8 +242,25 @@ def shade(
     omni_shadows=None,  # optional (depths [L,6,S,S], vps [L,6,4,4])
     uni_shadows=None,  # optional (depths [D,C,S,S], vps [D,C,4,4], splits [D,C+1])
     view_depth=None,  # f32[H,W] camera-space depth (cascade selection)
+    shadow_downsample: int = 1,  # compute visibility at 1/k res, upsample
 ):
-    """Deferred shading: ambient + omni + uni lights → HDR luminance [H,W,3]."""
+    """Deferred shading: ambient + omni + uni lights → HDR luminance [H,W,3].
+
+    ``shadow_downsample > 1`` evaluates the PCF shadow visibility on a
+    strided pixel grid and nearest-upsamples — the shadow-map gathers are the
+    dominant cost of this pass on TPU, and penumbra quality at 1080p barely
+    changes at 1/2 resolution."""
+    h, w = world_pos.shape[:2]
+    s = shadow_downsample
+
+    def at_vis_res(x):
+        return x[::s, ::s] if s > 1 else x
+
+    def upsample(vis):
+        if s == 1:
+            return vis
+        return jnp.repeat(jnp.repeat(vis, s, axis=0), s, axis=1)[:h, :w]
+
     view_dir = camera_pos - world_pos
     view_dir = view_dir / jnp.maximum(
         jnp.linalg.norm(view_dir, axis=-1, keepdims=True), 1e-9
@@ -252,13 +281,13 @@ def shade(
         contrib = b * illum
         if omni_shadows is not None:
             depths, vps = omni_shadows
-            vis = jnp.where(
-                lights.omni_shadowable[li],
+            vis = upsample(
                 omni_shadow_visibility(
-                    lights.omni_position[li], depths[li], vps[li], world_pos
-                ),
-                1.0,
+                    lights.omni_position[li], depths[li], vps[li],
+                    at_vis_res(world_pos),
+                )
             )
+            vis = jnp.where(lights.omni_shadowable[li], vis, 1.0)
             contrib = contrib * vis[..., None]
         lum = lum + jnp.where(lights.omni_mask[li], contrib, 0.0)
 
@@ -269,13 +298,13 @@ def shade(
         b = evaluate_brdf(normal, view_dir, ldir, albedo, f0, roughness)
         if uni_shadows is not None:
             depths, vps, splits = uni_shadows
-            vis = jnp.where(
-                lights.uni_shadowable[li],
+            vis = upsample(
                 uni_cascade_visibility(
-                    depths[li], vps[li], splits[li], view_depth, world_pos, normal
-                ),
-                1.0,
+                    depths[li], vps[li], splits[li], at_vis_res(view_depth),
+                    at_vis_res(world_pos), at_vis_res(normal),
+                )
             )
+            vis = jnp.where(lights.uni_shadowable[li], vis, 1.0)
             b = b * vis[..., None]
         lum = lum + jnp.where(lights.uni_mask[li], b * lights.uni_illuminance[li], 0.0)
 
@@ -369,10 +398,15 @@ def uni_cascade_visibility(depths, vps, splits, view_depth, world_pos, normal=No
     in_map = jnp.all((uv >= 0.0) & (uv <= 1.0), axis=-1)
     s = depths.shape[-1]
     base = uv * s - 0.5
+    b0 = jnp.floor(base)
+    f = base - b0
+    b0 = b0.astype(jnp.int32)
     vis = 0.0
-    for dy in (-1, 0, 1):
-        for dx in (-1, 0, 1):
-            p = jnp.clip(jnp.floor(base).astype(jnp.int32) + jnp.array([dy, dx]), 0, s - 1)
+    for dy in (0, 1):
+        for dx in (0, 1):
+            p = jnp.clip(b0 + jnp.array([dx, dy]), 0, s - 1)
             d = depths[idx, p[..., 1], p[..., 0]]
-            vis = vis + (ndc[..., 2] - 2e-3 <= d)
-    return jnp.where(in_map, vis / 9.0, 1.0)
+            wx = f[..., 0] if dx else 1.0 - f[..., 0]
+            wy = f[..., 1] if dy else 1.0 - f[..., 1]
+            vis = vis + wx * wy * (ndc[..., 2] - 2e-3 <= d)
+    return jnp.where(in_map, vis, 1.0)

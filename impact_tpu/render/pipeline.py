@@ -74,6 +74,7 @@ class RenderConfig(NamedTuple):
     textured: bool = False
     texture_scale: float = 0.5  # world units → uv tiling frequency
     normal_map_strength: float = 1.0
+    shadow_pcf_downsample: int = 1  # PCF visibility at 1/k res (1080p: 2)
     # raster triangle budget: the scene's (mostly inactive) triangle slots are
     # compacted to this many before clipping — the render-side analog of the
     # reference's chunk culling + indirect draws
@@ -324,6 +325,7 @@ def deferred_shade(
         lights, gb.world_pos, gb.normal, gb.albedo, gb.f0, gb.roughness,
         gb.emissive, occlusion, cam.position, gb.valid,
         omni_shadows, uni_shadows, view_depth,
+        shadow_downsample=config.shadow_pcf_downsample,
     )
     sky = jnp.asarray(config.sky_luminance, jnp.float32)
     return jnp.where(gb.valid[..., None], lum, sky)

@@ -316,10 +316,22 @@ def make_engine_step(
             rng=rng,
         )
 
+    impact_cfg = config.voxel.interaction.fracturing.impact
+    n_seeds = max(
+        2,
+        min(
+            impact_cfg.max_fragment_count,
+            config.tpu.max_fracture_fragments,
+            o_max,
+        ),
+    )
+    n_events = min(config.tpu.max_fracture_events, o_max)
+
     def _maybe_fracture(phys: PhysicsState, pool: VoxelObjectPool, rng, params: EngineParams):
-        """Fracture the voxel object with the strongest over-threshold contact
-        impulse (ref: fracturing.rs:508 handle_fracturing_impacts consuming
-        cached collision impulses)."""
+        """Fracture the voxel objects with over-threshold contact impulses —
+        up to ``n_events`` concurrent events per step, ``n_seeds`` fragments
+        each (ref: fracturing.rs:508 handle_fracturing_impacts consuming
+        cached collision impulses; :338-371 fans all fragments out)."""
         cache = phys.solver_cache
         imp_n = jnp.where(cache.active, cache.impulses[:, 0], 0.0)  # [C]
         body_of_obj = pool.body_index  # [O]
@@ -334,34 +346,46 @@ def make_engine_step(
             & pool.alive
             & (imp_per_obj > params.fracture_threshold)
         )
-        any_exceed = jnp.any(exceed)
-        target = jnp.argmax(jnp.where(exceed, imp_per_obj, -1.0))
+        top_imp, top_obj = jax.lax.top_k(
+            jnp.where(exceed, imp_per_obj, -jnp.inf), n_events
+        )
 
-        n_seeds = 4  # fragments per event (source keeps seed 0)
+        # disjoint free-slot ranges per event, computed up front (events mark
+        # slots alive as they run, but their ranges never collide)
         free_order = jnp.argsort(pool.alive, stable=True)  # free slots first
-        free_slots = jnp.where(
-            ~pool.alive[free_order][: n_seeds - 1],
-            free_order[: n_seeds - 1],
-            -1,
+        free_all = jnp.where(
+            ~pool.alive[free_order], free_order, -1
         ).astype(jnp.int32)
 
-        def do(args):
-            phys, pool, rng = args
-            rng, sub = jax.random.split(rng)
-            tb = pool.body_index[target]
-            impact_world = cache.position[best_contact[target]]
-            impact_local = quat.inverse_rotate(
-                phys.bodies.orientation[tb], impact_world - phys.bodies.position[tb]
-            )
-            pool2 = fracture_object(
-                pool, target, impact_local, sub, free_slots,
-                params.fracture_radius[target], n_seeds,
-            )
-            new_mask = pool2.alive & ~pool.alive
-            phys2 = _inherit_fragment_motion(phys, pool2, tb, new_mask)
-            return phys2, pool2, rng
+        state = (phys, pool, rng)
+        for e in range(n_events):
+            target = top_obj[e]
+            valid_e = jnp.isfinite(top_imp[e])
+            lo = e * (n_seeds - 1)
+            if lo + n_seeds - 1 <= o_max:
+                free_slots = free_all[lo : lo + n_seeds - 1]
+            else:
+                free_slots = jnp.full(n_seeds - 1, -1, jnp.int32)
 
-        return jax.lax.cond(any_exceed, do, lambda a: a, (phys, pool, rng))
+            def do(args, target=target, free_slots=free_slots):
+                phys, pool, rng = args
+                rng, sub = jax.random.split(rng)
+                tb = pool.body_index[target]
+                impact_world = cache.position[best_contact[target]]
+                impact_local = quat.inverse_rotate(
+                    phys.bodies.orientation[tb],
+                    impact_world - phys.bodies.position[tb],
+                )
+                pool2 = fracture_object(
+                    pool, target, impact_local, sub, free_slots,
+                    params.fracture_radius[target], n_seeds, impact_cfg,
+                )
+                new_mask = pool2.alive & ~pool.alive
+                phys2 = _inherit_fragment_motion(phys, pool2, tb, new_mask)
+                return phys2, pool2, rng
+
+            state = jax.lax.cond(valid_e, do, lambda a: a, state)
+        return state
 
     def _maybe_split(phys: PhysicsState, pool: VoxelObjectPool):
         # one connectivity check per step on the first pending object; the

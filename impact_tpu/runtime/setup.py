@@ -811,5 +811,6 @@ def render_config_from_engine_config(config: EngineConfig):
         csm_cascades=config.tpu.csm_cascades,
         max_triangles=config.tpu.max_render_triangles,
         textured=config.tpu.textured_voxels,
+        shadow_pcf_downsample=2 if config.tpu.render_height >= 720 else 1,
         sky_luminance=(3000.0, 4500.0, 9000.0),
     )

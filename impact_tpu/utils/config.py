@@ -286,6 +286,8 @@ class TpuConfig:
     max_render_triangles: int = 65536  # raster budget after slot compaction
     textured_voxels: bool = False  # triplanar voxel-type texture arrays
     texture_resolution: int = 64  # procedural texture-array base size
+    max_fracture_fragments: int = 16  # seeds/event (≤ ref max_fragment_count)
+    max_fracture_events: int = 2  # concurrent fracture events per step
 
 
 @dataclass

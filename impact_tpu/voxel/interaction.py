@@ -248,6 +248,62 @@ def split_off_disconnected_region(pool: VoxelObjectPool, obj_index, free_slot):
 # --- fracturing -----------------------------------------------------------------
 
 
+def sample_fracture_seeds(
+    rng_key,
+    impact_point_local,
+    inward_dir,
+    fracture_radius,
+    n_seeds: int,
+    boundary_polar_grid_size: int = 3,
+    boundary_azimuthal_grid_size: int = 6,
+    boundary_angular_jitter: float = 0.8,
+    boundary_radial_jitter: float = 0.2,
+    radial_falloff_power: float = 2.0,
+    angular_falloff_power: float = 0.5,
+):
+    """Voronoi seed positions around an impact (body frame) [S,3].
+
+    Ref: fracturing.rs:42-45,878-935 — seeds on jittered polar/azimuthal
+    boundary grids about the impact direction, with radial and angular
+    falloff powers concentrating fragments near the impact. The grid indices
+    tile (polar × azimuthal) across the seed count; jitter and power-law
+    radii come from the seeded PRNG (deterministic per event).
+    """
+    kt, kp, kr = jax.random.split(rng_key, 3)
+    i = jnp.arange(n_seeds)
+    npol = max(1, boundary_polar_grid_size)
+    nazi = max(1, boundary_azimuthal_grid_size)
+    pol = (i % npol).astype(jnp.float32)
+    azi = ((i // npol) % nazi).astype(jnp.float32)
+
+    ju = jax.random.uniform(kt, (n_seeds,), minval=-0.5, maxval=0.5)
+    jv = jax.random.uniform(kp, (n_seeds,), minval=-0.5, maxval=0.5)
+    # polar angle from the inward axis with angular falloff
+    u_theta = jnp.clip((pol + 0.5 + boundary_angular_jitter * ju) / npol, 0.0, 1.0)
+    theta = (0.5 * jnp.pi) * u_theta ** (1.0 / (1.0 + angular_falloff_power))
+    phi = (azi + 0.5 + boundary_angular_jitter * jv) / nazi * (2.0 * jnp.pi)
+    # radius with radial falloff (higher power → nearer the impact)
+    u_r = jax.random.uniform(kr, (n_seeds,))
+    u_r = jnp.clip(u_r * (1.0 + boundary_radial_jitter), 0.0, 1.0)
+    r = fracture_radius * u_r ** ((1.0 + radial_falloff_power) / 3.0)
+
+    # orthonormal frame about the inward direction
+    z = inward_dir / jnp.maximum(jnp.linalg.norm(inward_dir), 1e-9)
+    helper = jnp.where(
+        jnp.abs(z[0]) < 0.9, jnp.array([1.0, 0.0, 0.0]), jnp.array([0.0, 1.0, 0.0])
+    )
+    x = jnp.cross(helper, z)
+    x = x / jnp.maximum(jnp.linalg.norm(x), 1e-9)
+    y = jnp.cross(z, x)
+    st, ct = jnp.sin(theta), jnp.cos(theta)
+    dirs = (
+        st[:, None] * jnp.cos(phi)[:, None] * x[None]
+        + st[:, None] * jnp.sin(phi)[:, None] * y[None]
+        + ct[:, None] * z[None]
+    )
+    return impact_point_local[None, :] + r[:, None] * dirs
+
+
 def fracture_object(
     pool: VoxelObjectPool,
     obj_index,
@@ -256,30 +312,39 @@ def fracture_object(
     free_slots,
     fracture_radius,
     n_seeds: int,
+    impact_cfg=None,
 ):
     """Voronoi-fragment the region of ``obj_index`` within ``fracture_radius``
-    of the impact point (body frame). Fragment f>0 moves into free_slots[f-1];
+    of the impact point (body frame). Fragment s>0 moves into free_slots[s-1];
     fragment 0 stays in the source object.
 
-    Ref: fracturing.rs:338-935 — seeds sampled around the impact with jitter,
-    Voronoi cells extracted per seed. Here the Voronoi partition is computed
-    directly on the grid: each in-radius voxel joins the nearest seed.
+    Ref: fracturing.rs:338-935 — seeds sampled on jittered boundary grids
+    with radial/angular falloff, Voronoi cells extracted per seed (via
+    Delaunay → polyhedron clipping there). On a dense grid the Voronoi cell
+    of each voxel is the argmin-distance seed, so fragmentation is one
+    vectorized assignment; all fragments are carved in the same step.
     ``free_slots`` i32[n_seeds-1]: pool slots for fragments (−1 = unavailable;
     those fragments stay with the source).
     """
     from .object import voxel_positions_local
 
-    g = pool.grid_size
     occ = occupancy(pool)[obj_index]
     pos = voxel_positions_local(pool)[obj_index]  # [G,G,G,3] body frame
 
-    # seeds in a ball around the impact point (polar-ish jittered sampling,
-    # ref: fracturing.rs boundary grids + jitter; seeded RNG per §2.6)
-    k1, k2 = jax.random.split(rng_key)
-    dirs = jax.random.normal(k1, (n_seeds, 3))
-    dirs = dirs / jnp.maximum(jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-9)
-    radii = fracture_radius * jax.random.uniform(k2, (n_seeds,)) ** (1.0 / 3.0)
-    seeds = impact_point_local[None, :] + dirs * radii[:, None]  # [S,3]
+    inward = -impact_point_local  # toward the object interior (COM at origin)
+    kw = {}
+    if impact_cfg is not None:
+        kw = dict(
+            boundary_polar_grid_size=impact_cfg.boundary_polar_grid_size,
+            boundary_azimuthal_grid_size=impact_cfg.boundary_azimuthal_grid_size,
+            boundary_angular_jitter=impact_cfg.boundary_angular_jitter,
+            boundary_radial_jitter=impact_cfg.boundary_radial_jitter,
+            radial_falloff_power=impact_cfg.radial_falloff_power,
+            angular_falloff_power=impact_cfg.angular_falloff_power,
+        )
+    seeds = sample_fracture_seeds(
+        rng_key, impact_point_local, inward, fracture_radius, n_seeds, **kw
+    )  # [S,3]
 
     d2 = jnp.sum(
         (pos[:, :, :, None, :] - seeds[None, None, None, :, :]) ** 2, axis=-1
@@ -295,32 +360,36 @@ def fracture_object(
     src_sdf = pool.sdf[obj_index]
     far = 2.0 * pool.voxel_extent[obj_index]
 
-    # fragment 0 stays with the source; the rest move out if a slot is free
-    new_src = src_sdf
-    sdf_all = pool.sdf
-    vt_all = pool.vtype
-    alive = pool.alive
-    dirty = pool.mesh_dirty
-    origin = pool.origin
-    extent = pool.voxel_extent
+    # [S-1,G,G,G] per-fragment regions, vectorized over fragments
+    frag_ids = jnp.arange(1, n_seeds)
+    region_s = frag_region[None] & (
+        assignment[None] == frag_ids[:, None, None, None]
+    )
+    any_s = jnp.any(region_s, axis=(1, 2, 3))  # [S-1]
+    ok = (free_slots >= 0) & ~pool.alive[jnp.maximum(free_slots, 0)] & any_s
+    # disabled fragments scatter to an out-of-range slot (mode="drop") so
+    # clamped -1 entries can never collide with a genuine fragment write
+    slots = jnp.where(ok, jnp.maximum(free_slots, 0), pool.n_objects)
 
-    for f in range(1, n_seeds):
-        slot = free_slots[f - 1]
-        ok = (slot >= 0) & ~alive[jnp.maximum(slot, 0)]
-        region_f = frag_region & (assignment == f)
-        ok = ok & jnp.any(region_f)
-        s = jnp.maximum(slot, 0)
-        frag_sdf = jnp.where(region_f, src_sdf, far)
-        sdf_all = sdf_all.at[s].set(jnp.where(ok, frag_sdf, sdf_all[s]))
-        vt_all = vt_all.at[s].set(jnp.where(ok, pool.vtype[obj_index], vt_all[s]))
-        origin = origin.at[s].set(jnp.where(ok, pool.origin[obj_index], origin[s]))
-        extent = extent.at[s].set(
-            jnp.where(ok, pool.voxel_extent[obj_index], extent[s])
-        )
-        alive = alive.at[s].set(jnp.where(ok, True, alive[s]))
-        dirty = dirty.at[s].set(jnp.where(ok, True, dirty[s]))
-        new_src = jnp.where(ok & region_f, far, new_src)
+    frag_sdf = jnp.where(region_s, src_sdf[None], far)
+    sdf_all = pool.sdf.at[slots].set(frag_sdf, mode="drop")
+    vt_all = pool.vtype.at[slots].set(
+        jnp.broadcast_to(pool.vtype[obj_index][None], region_s.shape),
+        mode="drop",
+    )
+    origin = pool.origin.at[slots].set(
+        jnp.broadcast_to(pool.origin[obj_index][None], (n_seeds - 1, 3)),
+        mode="drop",
+    )
+    extent = pool.voxel_extent.at[slots].set(
+        jnp.broadcast_to(pool.voxel_extent[obj_index], (n_seeds - 1,)),
+        mode="drop",
+    )
+    alive = pool.alive.at[slots].set(True, mode="drop")
+    dirty = pool.mesh_dirty.at[slots].set(True, mode="drop")
 
+    moved = jnp.any(region_s & ok[:, None, None, None], axis=0)  # [G,G,G]
+    new_src = jnp.where(moved, far, src_sdf)
     sdf_all = sdf_all.at[obj_index].set(new_src)
     dirty = dirty.at[obj_index].set(True)
     pending = pool.split_pending | (dirty & alive)

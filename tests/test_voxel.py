@@ -262,6 +262,27 @@ class TestDeformation:
         assert not bool(disconnected)
         assert not bool(pool2.alive[1])
 
+    def test_fracture_many_fragments_one_event(self):
+        """One event can shatter into >10 fragments with voxels conserved
+        (ref: fracturing.rs ≤512 fragments/event, seed grids + falloff)."""
+        n_seeds = 16
+        pool = make_sphere_pool(radius=10.0, n_objects=24)
+        total = int(nonempty_counts(pool)[0])
+        free = jnp.arange(1, n_seeds, dtype=jnp.int32)
+        pool2 = fracture_object(
+            pool,
+            jnp.asarray(0),
+            jnp.array([10.0, 0.0, 0.0]),
+            jax.random.PRNGKey(7),
+            free,
+            fracture_radius=9.0,
+            n_seeds=n_seeds,
+        )
+        counts = np.asarray(nonempty_counts(pool2))
+        assert counts.sum() == total  # voxel (mass) conservation
+        n_fragments = int((counts[:n_seeds] > 0).sum())
+        assert n_fragments > 10, n_fragments
+
     def test_fracture_conserves_voxels(self):
         pool = make_sphere_pool(radius=8.0, n_objects=8)
         total = int(nonempty_counts(pool)[0])
