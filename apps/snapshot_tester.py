@@ -31,7 +31,7 @@ except RuntimeError:
 SNAPSHOT_DIR = pathlib.Path(__file__).parent / "snapshots" / "reference"
 MIN_SCORE_TO_PASS = 0.93
 
-# Scenes to snapshot: (name, n_warmup_steps)
+# Simulation scenes: (name, n_warmup_steps) — regression over the dynamic path
 TEST_SCENES = [
     ("Blank", 1),
     ("BallPit", 30),
@@ -40,10 +40,84 @@ TEST_SCENES = [
     ("Fracturing", 10),
 ]
 
+# Rendering-feature scenes, mirroring the reference's 13 TestScene variants
+# (apps/snapshot_tester/src/testing.rs:20-60): one feature per scene over the
+# standard RenderingTest arrangement. Each entry:
+# name → (rendering_test kwargs, config-mutator)
 
-def build_runtime(scene_name: str):
-    from impact_tpu.models import SCENES
-    from impact_tpu.runtime import HeadlessRuntime, compile_scene
+
+def _base_off(cfg):
+    cfg.rendering.shadow_mapping.enabled = False
+    cfg.rendering.ambient_occlusion.enabled = False
+    cfg.rendering.temporal_anti_aliasing.enabled = False
+    cfg.rendering.capturing_camera.bloom.enabled = False
+    cfg.rendering.capturing_camera.dynamic_range_compression.tone_mapping_method = "None"
+
+
+def _with(base=_base_off, **sets):
+    def mut(cfg):
+        base(cfg)
+        for path, value in sets.items():
+            obj = cfg
+            parts = path.split("__")
+            for p in parts[:-1]:
+                obj = getattr(obj, p)
+            setattr(obj, parts[-1], value)
+    return mut
+
+
+FEATURE_SCENES = {
+    "AmbientLight": (dict(omni=None, uni=None), _with()),
+    "OmnidirectionalLight": (dict(ambient=(0, 0, 0), omni="plain", uni=None), _with()),
+    "UnidirectionalLight": (dict(ambient=(0, 0, 0), omni=None, uni="plain"), _with()),
+    "ShadowableOmnidirectionalLight": (
+        dict(ambient=(0, 0, 0), omni="shadowable", uni=None), _with()
+    ),
+    "ShadowableUnidirectionalLight": (
+        dict(ambient=(0, 0, 0), omni=None, uni="shadowable"), _with()
+    ),
+    "ShadowCubeMapping": (
+        dict(ambient=(100, 100, 120), omni="shadowable", uni=None),
+        _with(rendering__shadow_mapping__enabled=True),
+    ),
+    "SoftShadowCubeMapping": (
+        dict(ambient=(100, 100, 120), omni="shadowable", uni=None, omni_extent=2.0),
+        _with(rendering__shadow_mapping__enabled=True, tpu__soft_shadows=True),
+    ),
+    "CascadedShadowMapping": (
+        dict(ambient=(100, 100, 120), omni=None, uni="shadowable"),
+        _with(rendering__shadow_mapping__enabled=True, tpu__csm_cascades=3),
+    ),
+    "SoftCascadedShadowMapping": (
+        dict(ambient=(100, 100, 120), omni=None, uni="shadowable", uni_extent=4.0),
+        _with(rendering__shadow_mapping__enabled=True, tpu__csm_cascades=3,
+              tpu__soft_shadows=True),
+    ),
+    "AmbientOcclusion": (
+        dict(omni=None, uni=None),
+        _with(rendering__ambient_occlusion__enabled=True),
+    ),
+    "Bloom": (
+        dict(emissive_sphere=True),
+        _with(rendering__capturing_camera__bloom__enabled=True),
+    ),
+    "ACESToneMapping": (
+        dict(),
+        _with(rendering__capturing_camera__dynamic_range_compression__tone_mapping_method="ACES"),
+    ),
+    "KhronosPBRNeutralToneMapping": (
+        dict(),
+        _with(rendering__capturing_camera__dynamic_range_compression__tone_mapping_method="KhronosPBRNeutral"),
+    ),
+    # beyond the reference's 13: the textured-material path
+    "TexturedMaterials": (
+        dict(),
+        _with(rendering__shadow_mapping__enabled=True, tpu__textured_voxels=True),
+    ),
+}
+
+
+def _snapshot_config():
     from impact_tpu.utils.config import EngineConfig
 
     cfg = EngineConfig()
@@ -55,7 +129,20 @@ def build_runtime(scene_name: str):
     cfg.tpu.render_height = 120
     cfg.physics.simulator.initial_time_step_duration = 0.01
     cfg.rendering.shadow_mapping.omnidirectional_light_shadow_map_resolution = 128
-    world = SCENES[scene_name]()
+    return cfg
+
+
+def build_runtime(scene_name: str):
+    from impact_tpu.models import SCENES, rendering_test
+    from impact_tpu.runtime import HeadlessRuntime, compile_scene
+
+    cfg = _snapshot_config()
+    if scene_name in FEATURE_SCENES:
+        kwargs, mutate = FEATURE_SCENES[scene_name]
+        mutate(cfg)
+        world = rendering_test(**kwargs)
+    else:
+        world = SCENES[scene_name]()
     build = compile_scene(world, cfg)
     return HeadlessRuntime(build, cfg)
 
@@ -70,7 +157,8 @@ def main(argv=None):
 
     SNAPSHOT_DIR.mkdir(parents=True, exist_ok=True)
     failures = []
-    for name, warmup in TEST_SCENES:
+    all_scenes = TEST_SCENES + [(name, 1) for name in FEATURE_SCENES]
+    for name, warmup in all_scenes:
         if args.scenes and name not in args.scenes:
             continue
         rt = build_runtime(name)

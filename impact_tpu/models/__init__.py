@@ -1,6 +1,17 @@
 """Built-in scenes / model families (ref: apps/basic_app scenes + experiments)."""
 
-from .scenes import SCENES, asteroid, ball_pit, blank, fracturing, voxel_box_tumbler
+from .scenes import (
+    SCENES,
+    asteroid,
+    ball_pit,
+    blank,
+    drag_drop,
+    fracturing,
+    free_rotation,
+    harmonic_oscillation,
+    rendering_test,
+    voxel_box_tumbler,
+)
 
 __all__ = [
     "SCENES",
@@ -9,4 +20,8 @@ __all__ = [
     "fracturing",
     "ball_pit",
     "asteroid",
+    "harmonic_oscillation",
+    "free_rotation",
+    "drag_drop",
+    "rendering_test",
 ]

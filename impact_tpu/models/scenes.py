@@ -218,6 +218,73 @@ def drag_drop() -> World:
     return w
 
 
+def rendering_test(
+    ambient=(900.0, 950.0, 1100.0),
+    omni: str | None = "shadowable",  # None | "plain" | "shadowable"
+    uni: str | None = "shadowable",
+    omni_extent: float = 0.5,
+    uni_extent: float = 2.0,
+    emissive_sphere: bool = False,
+) -> World:
+    """Standard rendering-feature scene (ref: basic_app RenderingTest scene —
+    a fixed arrangement of shaded objects the snapshot_tester renders with one
+    feature enabled per scene, testing.rs:20-60)."""
+    w = World()
+    _camera(w, (0.0, 4.5, 11.0), (0.0, 1.5, 0.0))
+    if any(c > 0 for c in ambient):
+        w.create_entity(C.AmbientEmission(illuminance=ambient))
+    if omni == "plain":
+        w.create_entity(
+            C.ReferenceFrame(position=(6.0, 10.0, 7.0)),
+            C.OmnidirectionalEmission(
+                luminous_intensity=(8e5, 7.6e5, 6.4e5), source_extent=omni_extent
+            ),
+        )
+    elif omni == "shadowable":
+        w.create_entity(
+            C.ReferenceFrame(position=(6.0, 10.0, 7.0)),
+            C.ShadowableOmnidirectionalEmission(
+                luminous_intensity=(8e5, 7.6e5, 6.4e5), source_extent=omni_extent
+            ),
+        )
+    if uni == "plain":
+        w.create_entity(
+            C.UnidirectionalEmission(
+                perpendicular_illuminance=(25000.0, 24000.0, 20000.0),
+                direction=(-0.4, -0.75, -0.5),
+                angular_source_extent=uni_extent,
+            )
+        )
+    elif uni == "shadowable":
+        w.create_entity(
+            C.ShadowableUnidirectionalEmission(
+                perpendicular_illuminance=(25000.0, 24000.0, 20000.0),
+                direction=(-0.4, -0.75, -0.5),
+                angular_source_extent=uni_extent,
+            )
+        )
+    _ground(w, y=0.0)
+    # fixed arrangement: box, sphere, capsule of distinct voxel types
+    for pos, vtype, builder in (
+        ((-3.2, 2.0, 0.0), 0, lambda: C.VoxelBox(voxel_extent=0.3, extent_x=14, extent_y=14, extent_z=14)),
+        ((0.6, 1.9, 1.5), 1, lambda: C.VoxelSphere(voxel_extent=0.3, radius=9.0)),
+        ((3.8, 1.4, -0.8), 2, lambda: C.VoxelCapsule(voxel_extent=0.3, segment_length=10.0, radius=5.0)),
+    ):
+        w.create_entity(
+            builder(),
+            C.ReferenceFrame(position=pos),
+            C.SameVoxelType(voxel_type=vtype),
+        )
+    if emissive_sphere:
+        # strongly emissive marker for the bloom scene
+        w.create_entity(
+            C.VoxelSphere(voxel_extent=0.3, radius=6.0),
+            C.ReferenceFrame(position=(0.0, 5.0, 2.5)),
+            C.SameVoxelType(voxel_type=2),
+        )
+    return w
+
+
 SCENES = {
     "Blank": blank,
     "VoxelBoxTumbler": voxel_box_tumbler,
@@ -227,4 +294,5 @@ SCENES = {
     "HarmonicOscillation": harmonic_oscillation,
     "FreeRotation": free_rotation,
     "DragDrop": drag_drop,
+    "RenderingTest": rendering_test,
 }

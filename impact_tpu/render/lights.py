@@ -116,7 +116,7 @@ def render_omni_shadow_cubemap(
         # 6-face vmap (memory per loop iteration is multiplied by the batch)
         target, _, _ = rasterlib.rasterize(
             tri_clip, tri_active, resolution, resolution, cull_backfaces=False,
-            big_budget=16, tiles_per_chunk=32,
+            k_per_tile=256, big_budget=16, tiles_per_chunk=32,
         )
         return target.depth, vp
 
@@ -148,7 +148,7 @@ def render_uni_shadow_map(
     tri_clip = clip[tri_indices]
     target, _, _ = rasterlib.rasterize(
         tri_clip, tri_active, resolution, resolution, cull_backfaces=False,
-        big_budget=16, tiles_per_chunk=64,
+        k_per_tile=256, big_budget=16, tiles_per_chunk=64,
     )
     return target.depth, vp
 
@@ -176,8 +176,70 @@ def _sample_shadow_pcf(depth_map, uv, depth_ref, bias=2e-3):
     return vis
 
 
-def omni_shadow_visibility(light_pos, shadow_depths, shadow_vps, world_pos):
-    """Visibility from a point-light cubemap at world positions [...,3]."""
+def quad_pack(depth_map):
+    """[...,S,S] depth → [...,S,S,4] where channel c = depth[y+dy, x+dx]
+    (edge-clamped). One gather row then yields all 4 bilinear PCF taps —
+    TPU gather cost scales with row COUNT, not row bytes, so this quarters
+    the dominant shadow-lookup cost."""
+    d00 = depth_map
+    d10 = jnp.concatenate([depth_map[..., :, 1:], depth_map[..., :, -1:]], axis=-1)
+    d01 = jnp.concatenate([depth_map[..., 1:, :], depth_map[..., -1:, :]], axis=-2)
+    d11 = jnp.concatenate([d01[..., :, 1:], d01[..., :, -1:]], axis=-1)
+    return jnp.stack([d00, d10, d01, d11], axis=-1)
+
+
+def _pcf_4tap_quad(quad_at, base, size, depth_ref, bias=2e-3):
+    """Bilinear 4-tap PCF from a quad-packed map: ``quad_at(p)`` gathers the
+    [...,4] channel row at integer texel p [...,2]."""
+    b0f = jnp.floor(base)
+    f = base - b0f
+    p = jnp.clip(b0f.astype(jnp.int32), 0, size - 1)
+    q = quad_at(p)  # [...,4] = d00,d10,d01,d11
+    lit = (depth_ref[..., None] - bias <= q).astype(jnp.float32)
+    wx, wy = f[..., 0], f[..., 1]
+    return (
+        lit[..., 0] * (1 - wx) * (1 - wy)
+        + lit[..., 1] * wx * (1 - wy)
+        + lit[..., 2] * (1 - wx) * wy
+        + lit[..., 3] * wx * wy
+    )
+
+
+def _pcf_4tap(sample_fn, base, f_scale, depth_ref, radius, bias=2e-3):
+    """Bilinear 4-tap PCF at a (possibly per-pixel) tap ``radius`` in texels.
+
+    ``sample_fn(p)`` gathers the depth at integer texel coords p [...,2].
+    radius 0.5 ≈ hard shadows; larger radii give PCSS-style penumbras
+    (ref: the soft omnidirectional/unidirectional light shader templates)."""
+    b0 = jnp.floor(base)
+    f = base - b0
+    vis = 0.0
+    for dy in (0, 1):
+        for dx in (0, 1):
+            off = jnp.stack(
+                [
+                    (dx - 0.5) * 2.0 * radius,
+                    (dy - 0.5) * 2.0 * radius,
+                ],
+                axis=-1,
+            )
+            p = jnp.round(base + off).astype(jnp.int32)
+            p = jnp.clip(p, 0, f_scale - 1)
+            d = sample_fn(p)
+            wx = f[..., 0] if dx else 1.0 - f[..., 0]
+            wy = f[..., 1] if dy else 1.0 - f[..., 1]
+            vis = vis + wx * wy * (depth_ref - bias <= d)
+    return vis
+
+
+def omni_shadow_visibility(
+    light_pos, shadow_depths, shadow_vps, world_pos, source_extent=None
+):
+    """Visibility from a point-light cubemap at world positions [...,3].
+
+    ``source_extent``: physical light size — enables PCSS-style soft shadows
+    (blocker depth from the center tap scales the PCF radius;
+    ref: soft shadow cube mapping scene / *omnidirectional_light*.wgsl)."""
     v = world_pos - light_pos
     av = jnp.abs(v)
     # face selection by dominant axis
@@ -198,21 +260,30 @@ def omni_shadow_visibility(light_pos, shadow_depths, shadow_vps, world_pos):
     uv = jnp.stack([ndc[..., 0] * 0.5 + 0.5, 0.5 - ndc[..., 1] * 0.5], -1)
     depth_ref = ndc[..., 2]
 
-    # gather per-pixel from the selected face (bilinear 4-tap PCF)
-    s = shadow_depths.shape[-1]
+    # accept raw [6,S,S] or quad-packed [6,S,S,4] maps
+    quads = shadow_depths if shadow_depths.ndim == 4 else quad_pack(shadow_depths)
+    s = quads.shape[-2]
     base = uv * s - 0.5
-    b0 = jnp.floor(base)
-    f = base - b0
-    b0 = b0.astype(jnp.int32)
-    vis = 0.0
-    for dy in (0, 1):
-        for dx in (0, 1):
-            p = jnp.clip(b0 + jnp.array([dx, dy]), 0, s - 1)
-            d = shadow_depths[face, p[..., 1], p[..., 0]]
-            wx = f[..., 0] if dx else 1.0 - f[..., 0]
-            wy = f[..., 1] if dy else 1.0 - f[..., 1]
-            vis = vis + wx * wy * (depth_ref - 2e-3 <= d)
-    return vis
+
+    def sample(p):
+        return quads[face, p[..., 1], p[..., 0], 0]
+
+    if source_extent is not None:
+        # PCSS-lite: blocker depth from the center tap → penumbra radius
+        pc = jnp.clip(jnp.round(base).astype(jnp.int32), 0, s - 1)
+        d_blocker = sample(pc)
+        penumbra = (
+            source_extent
+            * jnp.maximum(depth_ref - d_blocker, 0.0)
+            / jnp.maximum(d_blocker, 1e-3)
+        )
+        radius = jnp.clip(0.5 + penumbra * s * 8.0, 0.5, 8.0)
+        return _pcf_4tap(sample, base, s, depth_ref, radius)
+
+    def quad_at(p):
+        return quads[face, p[..., 1], p[..., 0], :]
+
+    return _pcf_4tap_quad(quad_at, base, s, depth_ref)
 
 
 def uni_shadow_visibility(shadow_depth, shadow_vp, world_pos):
@@ -243,6 +314,7 @@ def shade(
     uni_shadows=None,  # optional (depths [D,C,S,S], vps [D,C,4,4], splits [D,C+1])
     view_depth=None,  # f32[H,W] camera-space depth (cascade selection)
     shadow_downsample: int = 1,  # compute visibility at 1/k res, upsample
+    soft_shadows: bool = False,  # PCSS-style penumbras from source extents
 ):
     """Deferred shading: ambient + omni + uni lights → HDR luminance [H,W,3].
 
@@ -285,6 +357,9 @@ def shade(
                 omni_shadow_visibility(
                     lights.omni_position[li], depths[li], vps[li],
                     at_vis_res(world_pos),
+                    source_extent=(
+                        lights.omni_extent[li] if soft_shadows else None
+                    ),
                 )
             )
             vis = jnp.where(lights.omni_shadowable[li], vis, 1.0)
@@ -302,6 +377,11 @@ def shade(
                 uni_cascade_visibility(
                     depths[li], vps[li], splits[li], at_vis_res(view_depth),
                     at_vis_res(world_pos), at_vis_res(normal),
+                    angular_extent=(
+                        lights.uni_extent[li] * (jnp.pi / 180.0)
+                        if soft_shadows
+                        else None
+                    ),
                 )
             )
             vis = jnp.where(lights.uni_shadowable[li], vis, 1.0)
@@ -369,14 +449,18 @@ def render_uni_shadow_cascades(
     return depths, vps, splits
 
 
-def uni_cascade_visibility(depths, vps, splits, view_depth, world_pos, normal=None):
+def uni_cascade_visibility(
+    depths, vps, splits, view_depth, world_pos, normal=None, angular_extent=None
+):
     """Cascade-selected PCF visibility. view_depth [...]: −z in camera space.
 
     Receiver positions are offset along the surface normal by ~1.5 shadow
     texels (normal-offset bias, derived from each cascade's ortho extent via
     vp[0,0] = 1/radius) — kills the acne the constant depth bias leaves on
     large ground planes."""
-    n_cascades = depths.shape[0]
+    # accept raw [C,S,S] or quad-packed [C,S,S,4] maps
+    quads = depths if depths.ndim == 4 else quad_pack(depths)
+    n_cascades = quads.shape[0]
     # pick the first cascade whose far split exceeds the pixel depth
     if n_cascades > 1:
         idx = jnp.sum(
@@ -386,27 +470,33 @@ def uni_cascade_visibility(depths, vps, splits, view_depth, world_pos, normal=No
         idx = jnp.zeros(view_depth.shape, jnp.int32)
     idx = jnp.clip(idx, 0, n_cascades - 1)
     vp = vps[idx]
+    s = quads.shape[-2]
     if normal is not None:
-        s_res = depths.shape[-1]
         radius = 1.0 / jnp.maximum(jnp.abs(vp[..., 0, 0]), 1e-9)
-        texel_world = 2.0 * radius / s_res
+        texel_world = 2.0 * radius / s
         world_pos = world_pos + normal * (1.5 * texel_world)[..., None]
     hp = jnp.concatenate([world_pos, jnp.ones_like(world_pos[..., :1])], -1)
     clip = jnp.einsum("...ij,...j->...i", vp, hp)
     ndc = clip[..., :3]
     uv = jnp.stack([ndc[..., 0] * 0.5 + 0.5, 0.5 - ndc[..., 1] * 0.5], -1)
     in_map = jnp.all((uv >= 0.0) & (uv <= 1.0), axis=-1)
-    s = depths.shape[-1]
     base = uv * s - 0.5
-    b0 = jnp.floor(base)
-    f = base - b0
-    b0 = b0.astype(jnp.int32)
-    vis = 0.0
-    for dy in (0, 1):
-        for dx in (0, 1):
-            p = jnp.clip(b0 + jnp.array([dx, dy]), 0, s - 1)
-            d = depths[idx, p[..., 1], p[..., 0]]
-            wx = f[..., 0] if dx else 1.0 - f[..., 0]
-            wy = f[..., 1] if dy else 1.0 - f[..., 1]
-            vis = vis + wx * wy * (ndc[..., 2] - 2e-3 <= d)
+
+    if angular_extent is not None:
+        # PCSS-lite for directional lights: penumbra ∝ angular extent ×
+        # (receiver − blocker) light-space depth difference
+        def sample(p):
+            return quads[idx, p[..., 1], p[..., 0], 0]
+
+        pc = jnp.clip(jnp.round(base).astype(jnp.int32), 0, s - 1)
+        d_blocker = sample(pc)
+        penumbra = angular_extent * jnp.maximum(ndc[..., 2] - d_blocker, 0.0)
+        radius = jnp.clip(0.5 + penumbra * s * 4.0, 0.5, 8.0)
+        vis = _pcf_4tap(sample, base, s, ndc[..., 2], radius)
+        return jnp.where(in_map, vis, 1.0)
+
+    def quad_at(p):
+        return quads[idx, p[..., 1], p[..., 0], :]
+
+    vis = _pcf_4tap_quad(quad_at, base, s, ndc[..., 2])
     return jnp.where(in_map, vis, 1.0)

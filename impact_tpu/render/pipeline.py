@@ -75,6 +75,7 @@ class RenderConfig(NamedTuple):
     texture_scale: float = 0.5  # world units → uv tiling frequency
     normal_map_strength: float = 1.0
     shadow_pcf_downsample: int = 1  # PCF visibility at 1/k res (1080p: 2)
+    soft_shadows: bool = False  # PCSS-style penumbras from light extents
     # raster triangle budget: the scene's (mostly inactive) triangle slots are
     # compacted to this many before clipping — the render-side analog of the
     # reference's chunk culling + indirect draws
@@ -221,8 +222,12 @@ def shadow_pass(scene: RenderScene, lights: LightPools, cam: Camera, config: Ren
             config.shadow_map_resolution,
         )
 
+    from .lights import quad_pack
+
     omni_depths, omni_vps = jax.vmap(omni_one)(lights.omni_position)
-    omni_shadows = (omni_depths, omni_vps)
+    # quad-pack once per frame: the shade pass then needs ONE gather row per
+    # pixel for all four bilinear PCF taps
+    omni_shadows = (quad_pack(omni_depths), omni_vps)
 
     if config.csm_cascades > 1:
         # cascaded maps fit to camera sub-frusta (ref: ≤4-cascade CSM)
@@ -256,7 +261,7 @@ def shadow_pass(scene: RenderScene, lights: LightPools, cam: Camera, config: Ren
         uni_splits = jnp.tile(
             jnp.stack([cam.near, cam.far])[None], (lights.uni_mask.shape[0], 1)
         )
-    uni_shadows = (uni_depths, uni_vps, uni_splits)
+    uni_shadows = (quad_pack(uni_depths), uni_vps, uni_splits)
     return omni_shadows, uni_shadows
 
 
@@ -326,6 +331,7 @@ def deferred_shade(
         gb.emissive, occlusion, cam.position, gb.valid,
         omni_shadows, uni_shadows, view_depth,
         shadow_downsample=config.shadow_pcf_downsample,
+        soft_shadows=config.soft_shadows,
     )
     sky = jnp.asarray(config.sky_luminance, jnp.float32)
     return jnp.where(gb.valid[..., None], lum, sky)

@@ -115,7 +115,7 @@ def rasterize(
     chunk: int = 256,
     cull_backfaces: bool = True,
     method: str = "tiled",
-    k_per_tile: int = 128,
+    k_per_tile: int | None = None,
     big_budget: int = 32,
     tiles_per_chunk: int | None = None,
 ):
@@ -163,7 +163,7 @@ def _rasterize_clipped_tiled(
     height: int,
     width: int,
     tile: int = 32,
-    k_per_tile: int = 128,
+    k_per_tile: int | None = None,
     big_budget: int = 32,
     tiles_per_chunk: int | None = None,
     cull_backfaces: bool = True,
@@ -183,6 +183,11 @@ def _rasterize_clipped_tiled(
     th = -(-height // tile)
     tw = -(-width // tile)
     n_tiles = th * tw
+    if k_per_tile is None:
+        # enough per-tile slots that a dense mesh cannot overflow a tile at
+        # low resolutions (few tiles → high triangle density per tile);
+        # overflow degrades gracefully (nearest-K kept) but drops geometry
+        k_per_tile = int(min(1024, max(128, (2 * t2) // max(n_tiles, 1))))
     if tiles_per_chunk is None:
         # fewer, fatter loop iterations amortize per-iteration overhead;
         # bounded so the [TC, K, tile²] intermediates stay ~100 MB

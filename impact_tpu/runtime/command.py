@@ -109,6 +109,18 @@ def execute_commands(runtime, queue: CommandQueue):
                 runtime.paused = False
             else:
                 raise ValueError(f"unknown game_loop command {a!r}")
+        elif c == "gizmo":
+            # ref: GizmoAdminCommand — toggle gizmo visibility at runtime
+            vis = set(runtime.visible_gizmos)
+            if a == "set_visible":
+                vis = set(v or ())
+            elif a == "show":
+                vis.add(v)
+            elif a == "hide":
+                vis.discard(v)
+            else:
+                raise ValueError(f"unknown gizmo command {a!r}")
+            runtime.visible_gizmos = tuple(sorted(vis))
         elif c == "system":
             if a == "reset_world":
                 runtime.reset_world()

@@ -120,12 +120,27 @@ class HeadlessRuntime:
             lambda lum, motion, rstate: postprocess(lum, motion, rstate, rc)
         )
 
+        from ..render.camera import projection_matrix, view_matrix
+        from ..render.gizmos import build_gizmo_lines, overlay_lines
+
+        def gizmo_overlay(img, sim, kinds):
+            lines = build_gizmo_lines(sim, params, kinds)
+            vp = projection_matrix(
+                params.camera, rc.width, rc.height, None
+            ) @ view_matrix(params.camera)
+            return overlay_lines(img, lines, vp)
+
+        self._gizmo_overlay = jax.jit(gizmo_overlay, static_argnames=("kinds",))
+        self.visible_gizmos: tuple = ()  # e.g. ("reference_frame_axes",)
+
         def render(sim):
             scene = self._scene_of(sim)
             gb = self._geometry(scene, sim.render.frame_index)
             omni, uni = self._shadows(scene)
             lum = self._shade(gb, omni, uni, self._textures)
             img, hdr, rstate = self._post(lum, gb.motion, sim.render)
+            if self.visible_gizmos:
+                img = self._gizmo_overlay(img, sim, tuple(self.visible_gizmos))
             return img, sim._replace(render=rstate)
 
         self._render = render

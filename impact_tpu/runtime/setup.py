@@ -812,5 +812,6 @@ def render_config_from_engine_config(config: EngineConfig):
         max_triangles=config.tpu.max_render_triangles,
         textured=config.tpu.textured_voxels,
         shadow_pcf_downsample=2 if config.tpu.render_height >= 720 else 1,
+        soft_shadows=config.tpu.soft_shadows,
         sky_luminance=(3000.0, 4500.0, 9000.0),
     )

@@ -288,6 +288,7 @@ class TpuConfig:
     texture_resolution: int = 64  # procedural texture-array base size
     max_fracture_fragments: int = 16  # seeds/event (≤ ref max_fragment_count)
     max_fracture_events: int = 2  # concurrent fracture events per step
+    soft_shadows: bool = False  # PCSS-style soft shadows from light extents
 
 
 @dataclass

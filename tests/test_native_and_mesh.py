@@ -60,6 +60,52 @@ class TestTessellation:
         assert np.all(np.isfinite(d0))
 
 
+class TestFractureVoronoiParity:
+    def test_grid_argmin_matches_exact_voronoi(self):
+        """The fracture kernel's grid-argmin fragmentation must equal the
+        exact Voronoi partition (ref: the reference clips exact Voronoi
+        polyhedra, extraction.rs:604; we assign each voxel to its nearest
+        seed). Exact cells are reconstructed from the NATIVE Delaunay
+        tetrahedralization: a seed's cell is the intersection of bisector
+        half-spaces with its Delaunay neighbors, so membership checked that
+        way is geometry-exact."""
+        from impact_tpu.native import available, delaunay_tetrahedralize
+
+        if not available():
+            pytest.skip("native library unavailable")
+        rng = np.random.default_rng(3)
+        seeds = rng.uniform(-6.0, 6.0, (12, 3)).astype(np.float32)
+        tets = delaunay_tetrahedralize(seeds)
+        assert len(tets) > 0
+        # Delaunay neighbor sets
+        neighbors = {i: set() for i in range(len(seeds))}
+        for tet in tets:
+            for a in tet:
+                for b in tet:
+                    if a != b:
+                        neighbors[int(a)].add(int(b))
+
+        # voxel-center grid, assignment by argmin distance (the kernel's rule)
+        xs = np.linspace(-7.5, 7.5, 16)
+        grid = np.stack(np.meshgrid(xs, xs, xs, indexing="ij"), axis=-1).reshape(-1, 3)
+        d2 = ((grid[:, None, :] - seeds[None, :, :]) ** 2).sum(-1)
+        assign = d2.argmin(axis=1)
+
+        # exact membership: inside every bisector half-space of the assigned
+        # seed vs its DELAUNAY neighBors (sufficient: Voronoi neighbors are a
+        # subset of Delaunay neighbors)
+        for s in range(len(seeds)):
+            pts = grid[assign == s]
+            if len(pts) == 0:
+                continue
+            for t in neighbors[s]:
+                mid = 0.5 * (seeds[s] + seeds[t])
+                n = seeds[t] - seeds[s]
+                # signed distance along the bisector normal must be ≤ 0(+eps)
+                side = (pts - mid) @ n
+                assert (side <= 1e-4).all(), (s, t)
+
+
 class TestMeshGeneration:
     def test_box_mesh_closed(self):
         m = meshlib.box_mesh((2.0, 1.0, 3.0))

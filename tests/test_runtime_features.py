@@ -48,6 +48,22 @@ class TestCommands:
         rt.step(1)
         assert rt.config.physics.constraint_solver.n_iterations == 2
 
+    def test_gizmo_overlay_renders(self):
+        """Gizmo overlays draw visible line pixels over the frame
+        (ref: impact_gizmo dedicated passes + GizmoAdminCommand)."""
+        rt = tiny_runtime()
+        rt.step(3)
+        base = np.asarray(rt.render())
+        rt.enqueue_command("gizmo", "show", "reference_frame_axes")
+        rt.enqueue_command("gizmo", "show", "linear_velocity")
+        rt.apply_commands()
+        assert rt.visible_gizmos == ("linear_velocity", "reference_frame_axes")
+        overlaid = np.asarray(rt.render())
+        assert (overlaid != base).any()
+        rt.enqueue_command("gizmo", "set_visible", ())
+        rt.apply_commands()
+        assert rt.visible_gizmos == ()
+
     def test_rendering_command_rebuilds_config(self):
         rt = tiny_runtime()
         rt.enqueue_command("rendering", "set_tone_mapping", "KhronosPBRNeutral")
