@@ -146,6 +146,12 @@ def connected_component_labels(occ, max_iters: int | None = None):
     (ref algorithm role: split_detection.rs two-level CCL).
     """
     g = occ.shape[0]
+    if jax.default_backend() == "tpu":
+        # multi-sweep VMEM kernel: one HBM round trip per 16 propagation
+        # sweeps instead of per sweep (ops/ccl_pallas.py)
+        from ..ops.ccl_pallas import connected_component_labels_pallas
+
+        return connected_component_labels_pallas(occ, max_iters)
     lin = jnp.arange(g * g * g, dtype=jnp.int32).reshape(g, g, g)
     big = jnp.int32(g * g * g)
     labels0 = jnp.where(occ, lin, big)
