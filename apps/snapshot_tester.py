@@ -109,10 +109,14 @@ FEATURE_SCENES = {
         dict(),
         _with(rendering__capturing_camera__dynamic_range_compression__tone_mapping_method="KhronosPBRNeutral"),
     ),
-    # beyond the reference's 13: the textured-material path
+    # beyond the reference's 13: the textured-material path + skybox
     "TexturedMaterials": (
         dict(),
         _with(rendering__shadow_mapping__enabled=True, tpu__textured_voxels=True),
+    ),
+    "Skybox": (
+        dict(),
+        _with(rendering__shadow_mapping__enabled=True, tpu__procedural_sky=True),
     ),
 }
 

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from ..math import quaternion as quat
@@ -55,12 +56,16 @@ class ForcePools(NamedTuple):
     align_strength: jnp.ndarray  # f32[Ct]
     align_damping: jnp.ndarray  # f32[Ct]
     align_mask: jnp.ndarray  # bool[Ct]
-    # Quadratic drag vs the uniform medium (simplified analytic stand-in for
-    # the reference's precomputed DragLoadMap; ref: force/detailed_drag.rs)
+    # Quadratic drag vs the uniform medium (analytic fallback when a body has
+    # no precomputed map; ref: force/detailed_drag.rs)
     drag_coef: jnp.ndarray  # f32[N] per body (0 = no drag)
     drag_area: jnp.ndarray  # f32[N] reference area
     medium_density: jnp.ndarray  # f32 scalar
     medium_velocity: jnp.ndarray  # f32[3]
+    # Precomputed drag-load maps (ref: DragLoadMap/EquirectangularMap):
+    # per-shape [T,P,6] body-frame force+torque coefficient tables
+    drag_map_table: jnp.ndarray  # f32[M, T, P, 6]
+    drag_map_index: jnp.ndarray  # i32[N] map slot per body, −1 = analytic
 
 
 def empty_force_pools(
@@ -94,6 +99,8 @@ def empty_force_pools(
         gravitational_constant=jnp.asarray(6.674e-11, jnp.float32),
         drag_coef=jnp.zeros(n_bodies, jnp.float32),
         drag_area=jnp.ones(n_bodies, jnp.float32),
+        drag_map_table=jnp.zeros((1, 2, 2, 6), jnp.float32),
+        drag_map_index=jnp.full(n_bodies, -1, jnp.int32),
         medium_density=jnp.asarray(0.0, jnp.float32),
         medium_velocity=jnp.zeros(3, jnp.float32),
     )
@@ -171,12 +178,30 @@ def apply_forces_and_torques(bodies: BodyState, pools: ForcePools) -> BodyState:
     )
     force = force + jnp.where(gp[:, None], g_force, 0.0)
 
-    # quadratic drag: F = -½ ρ C A |v_rel| v_rel ; torque damping ∝ ω
+    # detailed drag (ref: force/detailed_drag.rs): bodies with a precomputed
+    # DragLoadMap sample it by body-frame flow direction; others fall back to
+    # the analytic quadratic model
     v_rel = vel - pools.medium_velocity
     speed = jnp.linalg.norm(v_rel, axis=-1, keepdims=True)
     drag_on = (pools.drag_coef > 0) & (pools.medium_density > 0)
     f_drag = -0.5 * pools.medium_density * pools.drag_coef[:, None] * pools.drag_area[:, None] * speed * v_rel
     t_drag = -0.5 * pools.medium_density * pools.drag_coef[:, None] * pools.drag_area[:, None] * jnp.linalg.norm(ang_vel, axis=-1, keepdims=True) * ang_vel
+
+    has_map = drag_on & (pools.drag_map_index >= 0)
+    if pools.drag_map_table.shape[0] > 0:
+        from .drag_map import sample_drag_load
+
+        flow_world = -v_rel  # incoming-flow direction: fluid motion vs body
+        flow_body = quat.inverse_rotate(bodies.orientation, flow_world)
+        d_body = flow_body / jnp.maximum(speed, 1e-9)
+        q_dyn = 0.5 * pools.medium_density * speed[:, 0] ** 2  # [N]
+        tables = pools.drag_map_table[jnp.maximum(pools.drag_map_index, 0)]
+        # vectorized per-body bilinear lookup over each body's own table
+        fc, tc = jax.vmap(sample_drag_load)(tables, d_body)
+        f_map = quat.rotate(bodies.orientation, fc) * q_dyn[:, None]
+        t_map = quat.rotate(bodies.orientation, tc) * q_dyn[:, None]
+        f_drag = jnp.where(has_map[:, None], f_map, f_drag)
+        t_drag = jnp.where(has_map[:, None], t_map, t_drag)
     force = force + jnp.where(drag_on[:, None], f_drag, 0.0)
     torque = torque + jnp.where(drag_on[:, None], t_drag, 0.0)
 

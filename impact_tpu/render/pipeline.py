@@ -76,6 +76,7 @@ class RenderConfig(NamedTuple):
     normal_map_strength: float = 1.0
     shadow_pcf_downsample: int = 1  # PCF visibility at 1/k res (1080p: 2)
     soft_shadows: bool = False  # PCSS-style penumbras from light extents
+    procedural_sky: bool = False  # gradient+sun skybox for sky pixels
     # raster triangle budget: the scene's (mostly inactive) triangle slots are
     # compacted to this many before clipping — the render-side analog of the
     # reference's chunk culling + indirect draws
@@ -333,7 +334,16 @@ def deferred_shade(
         shadow_downsample=config.shadow_pcf_downsample,
         soft_shadows=config.soft_shadows,
     )
-    sky = jnp.asarray(config.sky_luminance, jnp.float32)
+    if config.procedural_sky:
+        from .sky import pixel_view_directions, procedural_sky
+
+        rays = pixel_view_directions(cam.orientation, cam.vertical_fov, w, h)
+        sun = None
+        if lights.uni_mask.shape[0] > 0:
+            sun = lights.uni_direction[0]
+        sky = procedural_sky(rays, sun_direction=sun)
+    else:
+        sky = jnp.asarray(config.sky_luminance, jnp.float32)
     return jnp.where(gb.valid[..., None], lum, sky)
 
 

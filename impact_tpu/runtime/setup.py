@@ -155,6 +155,8 @@ def _compile_scene_impl(
     )
 
     voxel_response = np.zeros((o_max, 3), np.float32)
+    drag_tables: list = []
+    drag_map_index = np.full(tc.max_bodies, -1, np.int32)
     fracturable = np.zeros(o_max, bool)
     fracture_threshold = np.full(o_max, np.inf, np.float32)
     fracture_radius = np.ones(o_max, np.float32)
@@ -460,22 +462,48 @@ def _compile_scene_impl(
             )
         if world.has_component(eid, C.DetailedDrag):
             dd = world.get_component(eid, C.DetailedDrag)
-            # reference area from the collidable shape (the analytic stand-in
-            # for the reference's per-shape DragLoadMap, force/detailed_drag.rs)
+            # analytic fallback area + a precomputed DragLoadMap from the
+            # collidable shape's mesh (ref: force/detailed_drag.rs tables,
+            # cached per drag_load_map_config)
             area = 1.0
+            shape_mesh = None
             if world.has_component(eid, C.SphericalCollidable):
                 r = world.get_component(eid, C.SphericalCollidable).radius
                 area = float(np.pi * r * r)
+                from ..scene.mesh import sphere_mesh
+
+                shape_mesh = sphere_mesh(radius=float(r), n_rings=12, n_segments=24)
             elif world.has_component(eid, C.CapsularCollidable):
                 cc2 = world.get_component(eid, C.CapsularCollidable)
                 seg = float(np.linalg.norm(
                     np.asarray(cc2.segment_end) - np.asarray(cc2.segment_start)
                 ))
                 area = float(2 * cc2.radius * seg + np.pi * cc2.radius**2)
+                from ..scene.mesh import capsule_mesh
+
+                shape_mesh = capsule_mesh(
+                    radius=float(cc2.radius), segment_length=seg,
+                    n_rings=8, n_segments=24,
+                )
             forces = forces._replace(
                 drag_coef=forces.drag_coef.at[bi].set(dd.drag_coefficient),
                 drag_area=forces.drag_area.at[bi].set(area),
             )
+            if shape_mesh is not None:
+                from ..physics.drag_map import get_or_build_drag_load_map
+
+                dm_cfg = config.physics.rigid_body_force.drag_load_map_config
+                n_theta = max(8, dm_cfg.n_theta_coords // 2)
+                m = get_or_build_drag_load_map(
+                    shape_mesh.positions, shape_mesh.indices,
+                    n_theta=n_theta, n_phi=2 * n_theta,
+                    directory=dm_cfg.directory,
+                    use_saved=dm_cfg.use_saved_maps,
+                    save_generated=dm_cfg.save_generated_maps,
+                    overwrite=dm_cfg.overwrite_existing_map_files,
+                )
+                drag_tables.append(np.asarray(m.table))
+                drag_map_index[bi] = len(drag_tables) - 1
 
         # motion drivers
         if world.has_component(eid, C.CircularTrajectory):
@@ -681,6 +709,11 @@ def _compile_scene_impl(
     joints = _committed(joints)
     pool = _committed(pool)
 
+    if drag_tables:
+        forces = forces._replace(
+            drag_map_table=jnp.asarray(np.stack(drag_tables)),
+            drag_map_index=jnp.asarray(drag_map_index),
+        )
     phys = phys._replace(bodies=apply_forces_and_torques(bodies, forces))
 
     params = EngineParams(
@@ -813,5 +846,6 @@ def render_config_from_engine_config(config: EngineConfig):
         textured=config.tpu.textured_voxels,
         shadow_pcf_downsample=2 if config.tpu.render_height >= 720 else 1,
         soft_shadows=config.tpu.soft_shadows,
-        sky_luminance=(3000.0, 4500.0, 9000.0),
+        procedural_sky=config.tpu.procedural_sky,
+        sky_luminance=tuple(config.tpu.sky_luminance),
     )

@@ -289,6 +289,8 @@ class TpuConfig:
     max_fracture_fragments: int = 16  # seeds/event (≤ ref max_fragment_count)
     max_fracture_events: int = 2  # concurrent fracture events per step
     soft_shadows: bool = False  # PCSS-style soft shadows from light extents
+    procedural_sky: bool = False  # gradient+sun skybox (ref: skybox.rs slot)
+    sky_luminance: tuple = (3000.0, 4500.0, 9000.0)  # constant-sky fallback
 
 
 @dataclass
