@@ -84,6 +84,8 @@ def main() -> dict:
     )
     # ~500k surface triangles at 64 solid 26^3 boxes; budget must hold them
     cfg.tpu.max_render_triangles = int(os.environ.get("BENCH_TRIS", str(1 << 19)))
+    # i8 SDF storage (ref VoxelSignedDistance semantics): ~35% faster stepping
+    cfg.tpu.sdf_encoding = os.environ.get("BENCH_SDF", "i8")
 
     world = voxel_box_tumbler(n_boxes=max(1, n_objects - 2), seed=3)
     for eid in world.entities_with(C.VoxelBox):

@@ -278,7 +278,11 @@ def make_engine_step(
                 ),
             )
             sub2 = sub2._replace(origin=pool2.origin[order])
-            full = surface_nets_batched(sub2.sdf, sub2.vtype)
+            from ..voxel.encoding import sdf_world
+
+            full = surface_nets_batched(
+                sdf_world(sub2.sdf, sub2.voxel_extent), sub2.vtype
+            )
             sub_mesh = compact_mesh_batched(full, mesh_vert_cap, mesh_tri_cap)
             meshes2 = jax.tree.map(
                 lambda old, new: old.at[order].set(

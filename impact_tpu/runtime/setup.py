@@ -149,7 +149,10 @@ def _compile_scene_impl(
     lights = _staged(empty_light_pools(4, 2))
     absorbers = _staged(empty_absorber_pools())
     joints = _staged(empty_joint_pools())
-    pool = _staged(empty_voxel_object_pool(o_max, g))
+    import jax.numpy as _jnp
+
+    sdf_dtype = _jnp.int8 if tc.sdf_encoding == "i8" else _jnp.float32
+    pool = _staged(empty_voxel_object_pool(o_max, g, sdf_dtype))
     pool = pool._replace(
         body_index=(np.arange(o_max, dtype=np.int32) + voxel_body_offset).view(_MutArray)
     )
@@ -272,6 +275,10 @@ def _compile_scene_impl(
             )
 
         sdf_grid, origin = generate_sdf_grid(graph, g, extent)
+        if sdf_dtype == _jnp.int8:
+            from ..voxel.encoding import encode_sdf_i8
+
+            sdf_grid = encode_sdf_i8(sdf_grid, extent)
         vtype_grid = jnp.zeros((g, g, g), jnp.int32)
         if world.has_component(eid, C.SameVoxelType):
             vt = world.get_component(eid, C.SameVoxelType)
@@ -737,6 +744,7 @@ def _compile_scene_impl(
     phys, pool = _sync_voxel_bodies(
         phys, pool, registry.mass_density, pool.mesh_dirty
     )
+    from ..voxel.encoding import sdf_world as _sdf_world
     # Convert initial Motion velocities into momenta now that every dynamic
     # body (regular + voxel) has its final mass/inertia: p = m·v, L = I_w·ω
     # (ref: rigid_body.rs:423-437 sets momenta at creation). Without this,
@@ -749,7 +757,7 @@ def _compile_scene_impl(
             phys.bodies, phys.bodies.velocity, phys.bodies.angular_velocity
         )
     )
-    full = surface_nets_batched(pool.sdf, pool.vtype)
+    full = surface_nets_batched(_sdf_world(pool.sdf, pool.voxel_extent), pool.vtype)
     mesh_vert_cap = min(4096, (g - 1) ** 3)
     mesh_tri_cap = min(8192, 6 * (g - 1) ** 3)
     meshes = compact_mesh_batched(full, mesh_vert_cap, mesh_tri_cap)

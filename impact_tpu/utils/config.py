@@ -290,6 +290,7 @@ class TpuConfig:
     max_fracture_events: int = 2  # concurrent fracture events per step
     soft_shadows: bool = False  # PCSS-style soft shadows from light extents
     procedural_sky: bool = False  # gradient+sun skybox (ref: skybox.rs slot)
+    sdf_encoding: str = "f32"  # "f32" | "i8" (ref: VoxelSignedDistance, lib.rs:60-73)
     sky_luminance: tuple = (3000.0, 4500.0, 9000.0)  # constant-sky fallback
 
 

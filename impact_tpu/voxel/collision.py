@@ -56,7 +56,9 @@ def extract_probes(pool: VoxelObjectPool, response_params) -> VoxelProbes:
 
     adj = adjacency_masks(occ)
     n_neighbors = sum(adj.values()).astype(jnp.float32)
-    score = jnp.where(surf, n_neighbors * 10.0 + jnp.abs(pool.sdf), jnp.inf)
+    score = jnp.where(
+        surf, n_neighbors * 10.0 + jnp.abs(pool.sdf.astype(jnp.float32)), jnp.inf
+    )
     score_b = score.reshape(o, b, PROBE_BLOCK, b, PROBE_BLOCK, b, PROBE_BLOCK)
     score_b = jnp.transpose(score_b, (0, 1, 3, 5, 2, 4, 6)).reshape(
         o, b, b, b, PROBE_BLOCK**3
@@ -271,10 +273,19 @@ def voxel_contacts(
         local = quat.rotate(q_inv[b_obj][None], pts_world - x_b[b_obj][None])
         return (local - pool.origin[b_obj][None]) / pool.voxel_extent[b_obj]
 
+    from .encoding import QUANTIZATION_STEP_SIZE, is_encoded
+
+    # storage units → world units: i8 codes carry extent·step per code; the
+    # f32 pool already stores world-unit distances
+    if is_encoded(pool.sdf):
+        sdf_unit = pool.voxel_extent * QUANTIZATION_STEP_SIZE  # [O]
+    else:
+        sdf_unit = jnp.ones_like(pool.voxel_extent)
+
     def sample_pair(a_obj, b_obj):
         pts = to_grid_of(b_obj, probe_world[a_obj])  # [P,3] grid coords of B
         d, g_local = sample_sdf_trilinear_with_gradient(pool.sdf[b_obj], pts)
-        d = d * pool.voxel_extent[b_obj]
+        d = d * sdf_unit[b_obj]
         n_world = quat.rotate(q_b[b_obj][None], g_local)
         return d, n_world
 

@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from ..math import quaternion as quat
+from .encoding import far_value, is_encoded, encode_sdf_i8, sdf_world
 from .object import VoxelObjectPool, occupancy
 
 # --- absorption ----------------------------------------------------------------
@@ -125,8 +126,15 @@ def apply_absorption(
     d_cap = jnp.where(absorbers.cap_mask[None, None, None, None, :], d_cap, jnp.inf)
     d_abs = jnp.minimum(d_abs, jnp.min(d_cap, axis=-1))
 
-    new_sdf = jnp.maximum(pool.sdf, -d_abs)
-    changed = jnp.any(jnp.abs(new_sdf - pool.sdf) > 1e-7, axis=(1, 2, 3))
+    if is_encoded(pool.sdf):
+        world_sdf = sdf_world(pool.sdf, pool.voxel_extent)
+        new_sdf = encode_sdf_i8(
+            jnp.maximum(world_sdf, -d_abs), pool.voxel_extent[:, None, None, None]
+        )
+        changed = jnp.any(new_sdf != pool.sdf, axis=(1, 2, 3))
+    else:
+        new_sdf = jnp.maximum(pool.sdf, -d_abs)
+        changed = jnp.any(jnp.abs(new_sdf - pool.sdf) > 1e-7, axis=(1, 2, 3))
     changed = changed & pool.alive
     return pool._replace(
         sdf=jnp.where(pool.alive[:, None, None, None], new_sdf, pool.sdf),
@@ -219,7 +227,7 @@ def split_off_disconnected_region(pool: VoxelObjectPool, obj_index, free_slot):
     region = jnp.where(move_min, in_min, occ & ~in_min)
 
     src_sdf = pool.sdf[obj_index]
-    far = 2.0 * pool.voxel_extent[obj_index]
+    far = far_value(pool.sdf.dtype, pool.voxel_extent[obj_index])
     # source keeps complement; extracted region gets the values
     new_src_sdf = jnp.where(region, far, src_sdf)
     new_dst_sdf = jnp.where(region, src_sdf, far)
@@ -364,7 +372,7 @@ def fracture_object(
     frag_region = occ & in_radius
 
     src_sdf = pool.sdf[obj_index]
-    far = 2.0 * pool.voxel_extent[obj_index]
+    far = far_value(pool.sdf.dtype, pool.voxel_extent[obj_index])
 
     # [S-1,G,G,G] per-fragment regions, vectorized over fragments
     frag_ids = jnp.arange(1, n_seeds)

@@ -56,14 +56,20 @@ class VoxelObjectPool(NamedTuple):
         return self.sdf.shape[-1]
 
 
-def empty_voxel_object_pool(n_objects: int, grid_size: int) -> VoxelObjectPool:
+def empty_voxel_object_pool(
+    n_objects: int, grid_size: int, sdf_dtype=jnp.float32
+) -> VoxelObjectPool:
     g = grid_size
+    if sdf_dtype == jnp.int8:
+        sdf0 = jnp.full((n_objects, g, g, g), 127, jnp.int8)
+    else:
+        sdf0 = jnp.full((n_objects, g, g, g), 1e3, jnp.float32)
     return VoxelObjectPool(
         alive=jnp.zeros(n_objects, bool),
         body_index=jnp.zeros(n_objects, jnp.int32),
         voxel_extent=jnp.ones(n_objects, jnp.float32),
         origin=jnp.zeros((n_objects, 3), jnp.float32),
-        sdf=jnp.full((n_objects, g, g, g), 1e3, jnp.float32),
+        sdf=sdf0,
         vtype=jnp.zeros((n_objects, g, g, g), jnp.int32),
         mesh_dirty=jnp.zeros(n_objects, bool),
         split_pending=jnp.zeros(n_objects, bool),
