@@ -472,8 +472,10 @@ class SphericalJoint:
 
 @component(setup=True)
 class OrthographicCamera:
-    """Orthographic camera projection (ref: impact_camera setup.rs:26)."""
+    """Orthographic camera projection (ref: impact_camera setup.rs:26).
+    The view volume's half-height is far·tan(fov/2), matching
+    OrthographicTransform::with_field_of_view (projection.rs:216-236)."""
 
-    vertical_field_of_view: float = 10.0  # world-units view height
+    vertical_field_of_view: float = 0.02  # radians
     near_distance: float = 0.01
     far_distance: float = 1000.0

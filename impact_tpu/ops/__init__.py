@@ -2,9 +2,18 @@
 
 Kernels live here with pure-XLA reference implementations alongside; each is
 validated against its reference in interpret mode on CPU and enabled on TPU
-via config flags (RenderConfig.use_pallas_raster etc.).
+automatically (backend check at trace time).
+
+Current kernels:
+  * ccl_pallas — multi-sweep connected-component min-label propagation in
+    VMEM, wired into voxel split detection.
+
+The round-1 brute-force Pallas rasterizer was deleted: the tile-binned XLA
+rasterizer (render/raster.py) is algorithmically superior (it streams only a
+tile's BINNED candidates, not every triangle chunk, against each tile) and
+measured faster on-chip.
 """
 
-from . import raster_pallas
+from . import ccl_pallas
 
-__all__ = ["raster_pallas"]
+__all__ = ["ccl_pallas"]

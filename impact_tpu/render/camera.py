@@ -50,7 +50,27 @@ def view_matrix(cam: Camera):
     return m
 
 
-def projection_matrix(cam: Camera, width: int, height: int, jitter_index=None):
+def projection_matrix(
+    cam: Camera, width: int, height: int, jitter_index=None,
+    orthographic: bool = False,
+):
+    """Projection for the camera; ``orthographic`` sizes the view volume like
+    the reference (half-height = far * tan(fov/2), projection.rs:216-236)."""
+    if orthographic:
+        from ..geometry.projection import orthographic_projection_matrix
+
+        half_h = cam.far * jnp.tan(0.5 * cam.vertical_fov)
+        half_w = half_h * (width / height)
+        proj = orthographic_projection_matrix(
+            -half_w, half_w, -half_h, half_h, cam.near, cam.far
+        )
+        if jitter_index is not None:
+            offsets = jnp.asarray(taa_jitter_offsets)
+            j = offsets[jitter_index % offsets.shape[0]]
+            # ortho: w == 1, so the NDC offset lives in the translation column
+            proj = proj.at[0, 3].add(-j[0] * 2.0 / width)
+            proj = proj.at[1, 3].add(-j[1] * 2.0 / height)
+        return proj
     proj = perspective_projection_matrix(
         width / height, cam.vertical_fov, cam.near, cam.far
     )
@@ -63,5 +83,8 @@ def projection_matrix(cam: Camera, width: int, height: int, jitter_index=None):
     return proj
 
 
-def view_proj(cam: Camera, width: int, height: int, jitter_index=None):
-    return projection_matrix(cam, width, height, jitter_index) @ view_matrix(cam)
+def view_proj(cam: Camera, width: int, height: int, jitter_index=None,
+              orthographic: bool = False):
+    return projection_matrix(
+        cam, width, height, jitter_index, orthographic
+    ) @ view_matrix(cam)

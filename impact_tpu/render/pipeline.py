@@ -77,6 +77,7 @@ class RenderConfig(NamedTuple):
     shadow_pcf_downsample: int = 1  # PCF visibility at 1/k res (1080p: 2)
     soft_shadows: bool = False  # PCSS-style penumbras from light extents
     procedural_sky: bool = False  # gradient+sun skybox for sky pixels
+    orthographic: bool = False  # true orthographic camera projection
     # raster triangle budget: the scene's (mostly inactive) triangle slots are
     # compacted to this many before clipping — the render-side analog of the
     # reference's chunk culling + indirect draws
@@ -136,11 +137,12 @@ def geometry_pass(
     ``scene`` must already be triangle-compacted (compact_scene_triangles)."""
     h, w = config.height, config.width
     jitter = frame_index if config.taa_enabled else None
+    ortho = config.orthographic
     vm = view_matrix(cam)
-    pm = projection_matrix(cam, w, h, jitter)
+    pm = projection_matrix(cam, w, h, jitter, orthographic=ortho)
     vp = pm @ vm
     vm_prev = view_matrix(cam_prev)
-    pm_prev = projection_matrix(cam_prev, w, h, None)
+    pm_prev = projection_matrix(cam_prev, w, h, None, orthographic=ortho)
     vp_prev = pm_prev @ vm_prev
 
     hp = jnp.concatenate([scene.vert_pos, jnp.ones_like(scene.vert_pos[..., :1])], -1)
@@ -194,7 +196,9 @@ def geometry_pass(
     clip_prev = jnp.einsum("ij,hwj->hwi", vp_prev, hp_prev)
     ndc_prev = clip_prev[..., :2] / jnp.maximum(clip_prev[..., 3:4], 1e-8)
     hp_cur = jnp.concatenate([world_pos, jnp.ones_like(world_pos[..., :1])], -1)
-    vp_cur_unjittered = projection_matrix(cam, w, h, None) @ vm
+    vp_cur_unjittered = (
+        projection_matrix(cam, w, h, None, orthographic=ortho) @ vm
+    )
     clip_cur = jnp.einsum("ij,hwj->hwi", vp_cur_unjittered, hp_cur)
     ndc_cur = clip_cur[..., :2] / jnp.maximum(clip_cur[..., 3:4], 1e-8)
     motion = (ndc_prev - ndc_cur) * jnp.array([0.5, -0.5])

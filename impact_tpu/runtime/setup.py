@@ -664,23 +664,18 @@ def _compile_scene_impl(
         )
         world.strip_setup_components(eid)
     for eid in world.entities_with(C.OrthographicCamera):
-        # orthographic cameras reuse the Camera record with a tiny-fov
-        # perspective approximation placed far back (true ortho projection is
-        # available in geometry.projection for render paths that need it;
-        # full pipeline support lands with the windowed viewer)
+        # true orthographic projection: the render pipeline switches on
+        # config.tpu.orthographic_camera (ref: OrthographicCameraProjection,
+        # projection.rs:196-236 — half-height = far·tan(fov/2))
         oc = world.get_component(eid, C.OrthographicCamera)
         pos, ori = frame_of(eid)
-        height = max(oc.vertical_field_of_view, 1e-3)
-        dist = height / (2.0 * np.tan(0.005))
-        from ..math import quaternion as _q
-
-        back = np.asarray(_q.rotate(ori, np.array([0.0, 0.0, 1.0], np.float32)))
         camera = Camera(
-            jnp.asarray(pos + back * dist), jnp.asarray(ori),
-            jnp.asarray(0.01, jnp.float32),
-            jnp.asarray(max(dist - oc.far_distance, 0.01), jnp.float32),
-            jnp.asarray(dist + oc.far_distance, jnp.float32),
+            jnp.asarray(pos), jnp.asarray(ori),
+            jnp.asarray(oc.vertical_field_of_view, jnp.float32),
+            jnp.asarray(oc.near_distance, jnp.float32),
+            jnp.asarray(oc.far_distance, jnp.float32),
         )
+        config.tpu.orthographic_camera = True
         world.strip_setup_components(eid)
 
     # medium
@@ -855,5 +850,6 @@ def render_config_from_engine_config(config: EngineConfig):
         shadow_pcf_downsample=2 if config.tpu.render_height >= 720 else 1,
         soft_shadows=config.tpu.soft_shadows,
         procedural_sky=config.tpu.procedural_sky,
+        orthographic=config.tpu.orthographic_camera,
         sky_luminance=tuple(config.tpu.sky_luminance),
     )

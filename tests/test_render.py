@@ -176,3 +176,54 @@ class TestCascades:
         vis = uni_cascade_visibility(depths, vps, splits, vd, wp)
         assert vis.shape == (2, 2)
         assert bool(jnp.all(vis == 1.0))  # everything lit with depth-1 maps
+
+
+class TestOrthographicCamera:
+    def test_no_perspective_foreshortening(self):
+        """Two equal spheres at different depths cover equal pixel areas under
+        the true orthographic projection (ref: projection.rs:196-236)."""
+        import numpy as np
+
+        from impact_tpu.ecs import World, components as C
+        from impact_tpu.runtime import HeadlessRuntime, compile_scene
+        from impact_tpu.utils.config import EngineConfig
+
+        cfg = EngineConfig()
+        cfg.tpu.max_voxel_objects = 2
+        cfg.tpu.max_bodies = 8
+        cfg.tpu.max_contacts = 32
+        cfg.tpu.voxel_grid_size = 16
+        cfg.tpu.render_width = 128
+        cfg.tpu.render_height = 96
+        cfg.rendering.shadow_mapping.enabled = False
+        cfg.rendering.ambient_occlusion.enabled = False
+        cfg.rendering.temporal_anti_aliasing.enabled = False
+        world = World()
+        world.create_entity(C.AmbientEmission(illuminance=(3000.0, 3000.0, 3000.0)))
+        # camera at +z looking toward −z; far·tan(fov/2) = view half-height
+        import math
+
+        world.create_entity(
+            C.ReferenceFrame(position=(0.0, 0.0, 30.0)),
+            C.OrthographicCamera(
+                vertical_field_of_view=2 * math.atan(6.0 / 100.0),
+                near_distance=0.1, far_distance=100.0,
+            ),
+        )
+        for x, z in ((-2.5, 0.0), (2.5, -25.0)):  # same size, depths differ
+            world.create_entity(
+                C.VoxelSphere(voxel_extent=0.25, radius=6.0),
+                C.ReferenceFrame(position=(x, 0.0, z)),
+                C.SameVoxelType(voxel_type=0),
+            )
+        build = compile_scene(world, cfg)
+        assert cfg.tpu.orthographic_camera
+        rt = HeadlessRuntime(build, cfg)
+        rt.step(1)
+        img = np.asarray(rt.render())
+        # count lit pixels on each half of the screen
+        lit = (img.astype(np.int32).sum(-1) > 40)
+        left = int(lit[:, : 128 // 2].sum())
+        right = int(lit[:, 128 // 2 :].sum())
+        assert left > 50 and right > 50
+        assert abs(left - right) / max(left, right) < 0.15, (left, right)
