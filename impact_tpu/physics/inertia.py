@@ -90,3 +90,64 @@ def translated_inertia(inertia, mass, offset):
 def rotated_inertia(inertia, rotation_matrix):
     """Inertia tensor in a rotated frame: R·I·Rᵀ."""
     return jnp.einsum("...ij,...jk,...lk->...il", rotation_matrix, inertia, rotation_matrix)
+
+
+def mesh_inertial_properties(vertices, triangles, mass_density=1.0):
+    """(mass, center_of_mass [3], inertia_tensor [3,3] about the COM) of a
+    closed triangle mesh with uniform density.
+
+    Ref: impact_physics/src/inertia.rs:69 ``of_uniform_triangle_mesh`` /
+    ``compute_uniform_triangle_mesh_inertial_properties``. Uses the standard
+    signed-tetrahedron decomposition about the origin (each face + origin
+    forms a tetrahedron whose signed volume integrals accumulate), so any
+    closed, consistently-wound mesh works regardless of origin placement.
+    """
+    import numpy as np
+
+    v = np.asarray(vertices, np.float64)
+    t = np.asarray(triangles, np.int64)
+    a, b, c = v[t[:, 0]], v[t[:, 1]], v[t[:, 2]]
+
+    # signed volume of tetra (origin, a, b, c)
+    vol6 = np.einsum("ij,ij->i", a, np.cross(b, c))  # 6 * signed volume
+    volume = vol6.sum() / 6.0
+
+    # centroid integral: per-tet centroid = (a+b+c+0)/4
+    com = ((a + b + c) / 4.0 * vol6[:, None]).sum(axis=0) / (6.0 * volume)
+
+    # second moments via canonical tetrahedron integrals:
+    # ∫ x_i x_j dV over tet(0,a,b,c) = (vol6/120)·(Σ_k Σ_l v_k·v_l terms)
+    def moment(i, j):
+        return (
+            vol6
+            / 120.0
+            * (
+                2.0 * (a[:, i] * a[:, j] + b[:, i] * b[:, j] + c[:, i] * c[:, j])
+                + a[:, i] * b[:, j]
+                + b[:, i] * a[:, j]
+                + a[:, i] * c[:, j]
+                + c[:, i] * a[:, j]
+                + b[:, i] * c[:, j]
+                + c[:, i] * b[:, j]
+            )
+        ).sum()
+
+    xx, yy, zz = moment(0, 0), moment(1, 1), moment(2, 2)
+    xy, xz, yz = moment(0, 1), moment(0, 2), moment(1, 2)
+    inertia_origin = np.array(
+        [
+            [yy + zz, -xy, -xz],
+            [-xy, xx + zz, -yz],
+            [-xz, -yz, xx + yy],
+        ]
+    )
+    mass = mass_density * volume
+    # parallel-axis shift to the COM
+    d = com
+    shift = (d @ d) * np.eye(3) - np.outer(d, d)
+    inertia_com = mass_density * inertia_origin - mass * shift
+    return (
+        jnp.asarray(mass, jnp.float32),
+        jnp.asarray(com, jnp.float32),
+        jnp.asarray(inertia_com, jnp.float32),
+    )

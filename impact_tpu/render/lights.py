@@ -315,6 +315,7 @@ def shade(
     view_depth=None,  # f32[H,W] camera-space depth (cascade selection)
     shadow_downsample: int = 1,  # compute visibility at 1/k res, upsample
     soft_shadows: bool = False,  # PCSS-style penumbras from source extents
+    bf16: bool = False,  # evaluate the BRDF math in bfloat16
 ):
     """Deferred shading: ambient + omni + uni lights → HDR luminance [H,W,3].
 
@@ -338,8 +339,20 @@ def shade(
         jnp.linalg.norm(view_dir, axis=-1, keepdims=True), 1e-9
     )
 
+    if bf16:
+        # material/BRDF math in bf16 (half the VPU bandwidth); positions and
+        # shadow projections stay f32 (depth comparisons need the precision)
+        bt = jnp.bfloat16
+        normal = normal.astype(bt)
+        view_dir = view_dir.astype(bt)
+        albedo = albedo.astype(bt)
+        f0 = f0.astype(bt)
+        roughness = roughness.astype(bt)
+        emissive = emissive.astype(bt)
+        occlusion = occlusion.astype(bt)
+
     lum = emissive + ambient_brdf(normal, view_dir, albedo, f0, roughness) * (
-        lights.ambient_luminance * occlusion[..., None]
+        (lights.ambient_luminance.astype(normal.dtype)) * occlusion[..., None]
     )
 
     # omni lights: inverse-square falloff (luminous intensity → illuminance)
@@ -347,8 +360,12 @@ def shade(
     for li in range(n_omni):
         lvec = lights.omni_position[li] - world_pos
         dist2 = jnp.sum(lvec * lvec, axis=-1)
-        ldir = lvec / jnp.maximum(jnp.sqrt(dist2), 1e-9)[..., None]
-        illum = lights.omni_intensity[li] / jnp.maximum(dist2, 1e-6)[..., None]
+        ldir = (lvec / jnp.maximum(jnp.sqrt(dist2), 1e-9)[..., None]).astype(
+            normal.dtype
+        )
+        illum = (
+            lights.omni_intensity[li] / jnp.maximum(dist2, 1e-6)[..., None]
+        ).astype(normal.dtype)
         b = evaluate_brdf(normal, view_dir, ldir, albedo, f0, roughness)
         contrib = b * illum
         if omni_shadows is not None:
@@ -363,13 +380,13 @@ def shade(
                 )
             )
             vis = jnp.where(lights.omni_shadowable[li], vis, 1.0)
-            contrib = contrib * vis[..., None]
+            contrib = contrib * vis[..., None].astype(contrib.dtype)
         lum = lum + jnp.where(lights.omni_mask[li], contrib, 0.0)
 
     # uni lights
     n_uni = lights.uni_mask.shape[0]
     for li in range(n_uni):
-        ldir = -lights.uni_direction[li]
+        ldir = (-lights.uni_direction[li]).astype(normal.dtype)
         b = evaluate_brdf(normal, view_dir, ldir, albedo, f0, roughness)
         if uni_shadows is not None:
             depths, vps, splits = uni_shadows
@@ -385,10 +402,14 @@ def shade(
                 )
             )
             vis = jnp.where(lights.uni_shadowable[li], vis, 1.0)
-            b = b * vis[..., None]
-        lum = lum + jnp.where(lights.uni_mask[li], b * lights.uni_illuminance[li], 0.0)
+            b = b * vis[..., None].astype(b.dtype)
+        lum = lum + jnp.where(
+            lights.uni_mask[li],
+            b * lights.uni_illuminance[li].astype(normal.dtype),
+            0.0,
+        )
 
-    return jnp.where(valid[..., None], lum, 0.0)
+    return jnp.where(valid[..., None], lum, 0.0).astype(jnp.float32)
 
 
 # --- cascaded shadow maps (ref: lib.rs:296-340 ShadowableUnidirectionalLight,

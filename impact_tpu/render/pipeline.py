@@ -78,6 +78,7 @@ class RenderConfig(NamedTuple):
     soft_shadows: bool = False  # PCSS-style penumbras from light extents
     procedural_sky: bool = False  # gradient+sun skybox for sky pixels
     orthographic: bool = False  # true orthographic camera projection
+    bf16_shading: bool = False  # BRDF math in bfloat16
     # raster triangle budget: the scene's (mostly inactive) triangle slots are
     # compacted to this many before clipping — the render-side analog of the
     # reference's chunk culling + indirect draws
@@ -337,6 +338,7 @@ def deferred_shade(
         omni_shadows, uni_shadows, view_depth,
         shadow_downsample=config.shadow_pcf_downsample,
         soft_shadows=config.soft_shadows,
+        bf16=config.bf16_shading,
     )
     if config.procedural_sky:
         from .sky import pixel_view_directions, procedural_sky

@@ -176,6 +176,18 @@ class HeadlessRuntime:
         self.sim, meta = load_checkpoint(path, self.sim)
         return meta
 
+    def profile(self, log_dir: str):
+        """XProf/Perfetto device trace of everything run inside the context
+        (the Tracy-slot analog, SURVEY §5 tracing; open the trace with
+        TensorBoard's profile plugin or ui.perfetto.dev):
+
+            with rt.profile("/tmp/trace"):
+                rt.step(10); rt.render()
+        """
+        import jax.profiler
+
+        return jax.profiler.trace(log_dir)
+
     def step(self, n: int = 1):
         """Advance the simulation ``n`` frames (no rendering)."""
         self.apply_commands()

@@ -851,5 +851,6 @@ def render_config_from_engine_config(config: EngineConfig):
         soft_shadows=config.tpu.soft_shadows,
         procedural_sky=config.tpu.procedural_sky,
         orthographic=config.tpu.orthographic_camera,
+        bf16_shading=config.tpu.bf16_shading,
         sky_luminance=tuple(config.tpu.sky_luminance),
     )

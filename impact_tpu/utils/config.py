@@ -292,6 +292,7 @@ class TpuConfig:
     procedural_sky: bool = False  # gradient+sun skybox (ref: skybox.rs slot)
     sdf_encoding: str = "f32"  # "f32" | "i8" (ref: VoxelSignedDistance, lib.rs:60-73)
     orthographic_camera: bool = False  # set by compile_scene on OrthographicCamera
+    bf16_shading: bool = False  # BRDF math in bfloat16
     sky_luminance: tuple = (3000.0, 4500.0, 9000.0)  # constant-sky fallback
 
 

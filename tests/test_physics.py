@@ -382,3 +382,51 @@ class TestJoints:
         np.testing.assert_allclose(anchor_world, [0.0, 3.0, 0.0], atol=0.05)
         # and the body hangs below the pivot, still moving or settled but finite
         assert np.isfinite(np.asarray(phys.bodies.position[0])).all()
+
+
+class TestMeshInertia:
+    def test_sphere_mesh_matches_analytic(self):
+        """Mesh-based inertial properties (ref: inertia.rs:69
+        of_uniform_triangle_mesh) match the analytic sphere within mesh
+        discretization error."""
+        from impact_tpu.physics.inertia import (
+            mesh_inertial_properties,
+            sphere_inertia,
+        )
+        from impact_tpu.scene.mesh import sphere_mesh
+
+        m = sphere_mesh(radius=1.0, n_rings=48, n_segments=96)
+        mass, com, inertia = mesh_inertial_properties(m.positions, m.indices, 1.0)
+        vol = 4.0 / 3.0 * np.pi
+        assert abs(float(mass) - vol) / vol < 0.01
+        assert float(jnp.linalg.norm(com)) < 1e-3
+        ref = np.asarray(sphere_inertia(jnp.asarray(float(mass)), jnp.asarray(1.0)))
+        np.testing.assert_allclose(np.asarray(inertia), ref, rtol=0.02, atol=1e-4)
+
+    def test_box_mesh_matches_analytic(self):
+        from impact_tpu.physics.inertia import box_inertia, mesh_inertial_properties
+        from impact_tpu.scene.mesh import box_mesh
+
+        m = box_mesh((2.0, 1.0, 3.0))
+        mass, com, inertia = mesh_inertial_properties(m.positions, m.indices, 2.0)
+        assert abs(float(mass) - 12.0) < 1e-3
+        ref = np.asarray(
+            box_inertia(jnp.asarray(float(mass)), jnp.asarray([2.0, 1.0, 3.0]))
+        )
+        np.testing.assert_allclose(np.asarray(inertia), ref, rtol=1e-3, atol=1e-4)
+
+    def test_translated_mesh_same_com_inertia(self):
+        """COM inertia is invariant to where the mesh sits relative to the
+        origin (the signed-tetra integrals handle arbitrary origins)."""
+        from impact_tpu.physics.inertia import mesh_inertial_properties
+        from impact_tpu.scene.mesh import sphere_mesh
+
+        m = sphere_mesh(radius=1.0, n_rings=24, n_segments=48)
+        m1 = mesh_inertial_properties(m.positions, m.indices, 1.0)
+        shifted = np.asarray(m.positions) + np.array([5.0, -3.0, 2.0])
+        m2 = mesh_inertial_properties(shifted, m.indices, 1.0)
+        np.testing.assert_allclose(float(m1[0]), float(m2[0]), rtol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(m2[1]), np.asarray(m1[1]) + [5.0, -3.0, 2.0], atol=1e-3
+        )
+        np.testing.assert_allclose(np.asarray(m1[2]), np.asarray(m2[2]), rtol=1e-3, atol=1e-4)

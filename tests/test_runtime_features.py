@@ -169,3 +169,14 @@ class TestSceneGraph:
         w.add_component(a, C.Parent(entity_id=b))
         with pytest.raises(ValueError):
             world_transforms(w)
+
+
+def test_profile_trace_writes_events(tmp_path):
+    """rt.profile captures an XProf/Perfetto trace (the Tracy analog)."""
+    rt = tiny_runtime()
+    with rt.profile(str(tmp_path)):
+        rt.step(2)
+    import pathlib
+
+    files = list(pathlib.Path(tmp_path).rglob("*"))
+    assert any(f.is_file() for f in files), files
