@@ -149,14 +149,10 @@ def geometry_pass(
     hp = jnp.concatenate([scene.vert_pos, jnp.ones_like(scene.vert_pos[..., :1])], -1)
     clip = jnp.einsum("ij,vj->vi", vp, hp)
     tri_clip = clip[scene.tri_indices]
-    target, clip2, bary2 = rasterlib.rasterize(tri_clip, scene.tri_active, h, w)
-    bary, tri, valid = rasterlib.resolve_barycentrics(
-        clip2, bary2, target, tri_clip.shape[0]
-    )
 
-    # ONE packed per-pixel gather for all vertex attributes: separate gathers
-    # per attribute are ~5× slower on TPU (each pays the full random-row
-    # gather cost; packing amortizes it over 20 lanes)
+    # fused raster: attributes are fetched per (tile, candidate) inside the
+    # tile loop and interpolated at winner selection — far fewer gather rows
+    # than a per-pixel [H,W,3] gather from [V,A] after a resolve pass
     packed = jnp.concatenate(
         [
             scene.vert_pos,  # 0:3
@@ -170,10 +166,9 @@ def geometry_pass(
         ],
         axis=-1,
     )
-    vids = scene.tri_indices[tri]  # [H,W,3]
-    vals = packed[vids]  # [H,W,3,20] — the one gather
-    out = jnp.einsum("hwv,hwvk->hwk", bary, vals)
-    out = jnp.where(valid[..., None], out, 0.0)
+    out, near, valid = rasterlib.rasterize_attributes(
+        tri_clip, scene.tri_active, scene.tri_indices, packed, h, w
+    )
 
     world_pos = out[..., 0:3]
     world_pos_prev = out[..., 3:6]
@@ -184,10 +179,8 @@ def geometry_pass(
     roughness = out[..., 15]
     emissive = out[..., 16:19]
 
-    # material index: nearest vertex (ints don't interpolate)
-    mats = vals[..., 19].astype(jnp.int32)  # [H,W,3]
-    nearest = jnp.argmax(bary, axis=-1)
-    material = jnp.take_along_axis(mats, nearest[..., None], axis=-1)[..., 0]
+    # material index from the max-weight corner (ints don't interpolate)
+    material = jnp.round(near[..., 19]).astype(jnp.int32)
     material = jnp.where(valid, material, -1)
 
     # motion vectors in uv units (ref: MotionVector attachment)
