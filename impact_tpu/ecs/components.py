@@ -62,6 +62,16 @@ class SceneEntityFlags:
 
 
 @component
+class DistanceTriggeredRules:
+    """Disable shadowing / remove the entity beyond distances from an anchor
+    entity (ref: impact_scene/src/lib.rs:74-91 DistanceTriggeredRules)."""
+
+    anchor_id: ("u64", ()) = 0
+    no_shadowing_dist_squared: float = 1e30
+    removal_dist_squared: float = 1e30
+
+
+@component
 class Parent:
     """Parent entity reference (ref: impact_scene ParentEntity)."""
 

@@ -40,6 +40,7 @@ class RenderScene(NamedTuple):
     vert_material: jnp.ndarray  # i32[V] texture layer (voxel type), -1 untextured
     tri_indices: jnp.ndarray  # i32[T,3]
     tri_active: jnp.ndarray  # bool[T]
+    tri_shadow: jnp.ndarray  # bool[T] casts shadows (scene flags + distance rules)
 
 
 class RenderConfig(NamedTuple):
@@ -121,7 +122,9 @@ def compact_scene_triangles(scene: RenderScene, max_triangles: int) -> RenderSce
     if scene.tri_active.shape[0] > max_triangles:
         order = jnp.argsort(~scene.tri_active, stable=True)[:max_triangles]
         scene = scene._replace(
-            tri_indices=scene.tri_indices[order], tri_active=scene.tri_active[order]
+            tri_indices=scene.tri_indices[order],
+            tri_active=scene.tri_active[order],
+            tri_shadow=scene.tri_shadow[order],
         )
     return scene
 
@@ -215,9 +218,11 @@ def shadow_pass(scene: RenderScene, lights: LightPools, cam: Camera, config: Ren
     if not config.shadows_enabled:
         return None, None
 
+    shadow_tris = scene.tri_active & scene.tri_shadow
+
     def omni_one(pos):
         return render_omni_shadow_cubemap(
-            pos, scene.vert_pos, scene.tri_indices, scene.tri_active,
+            pos, scene.vert_pos, scene.tri_indices, shadow_tris,
             config.shadow_map_resolution,
         )
 
@@ -234,7 +239,7 @@ def shadow_pass(scene: RenderScene, lights: LightPools, cam: Camera, config: Ren
             return render_uni_shadow_cascades(
                 d, cam.position, cam.orientation, cam.vertical_fov,
                 w / h, cam.near, jnp.minimum(cam.far, 200.0),
-                scene.vert_pos, scene.tri_indices, scene.tri_active,
+                scene.vert_pos, scene.tri_indices, shadow_tris,
                 config.shadow_map_resolution, config.csm_cascades,
             )
 
@@ -250,7 +255,7 @@ def shadow_pass(scene: RenderScene, lights: LightPools, cam: Camera, config: Ren
         def uni_one(d):
             return render_uni_shadow_map(
                 d, scene_center, scene_radius,
-                scene.vert_pos, scene.tri_indices, scene.tri_active,
+                scene.vert_pos, scene.tri_indices, shadow_tris,
                 config.shadow_map_resolution,
             )
 

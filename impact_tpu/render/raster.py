@@ -186,8 +186,11 @@ def _rasterize_clipped_tiled(
     if k_per_tile is None:
         # enough per-tile slots that a dense mesh cannot overflow a tile at
         # low resolutions (few tiles → high triangle density per tile);
-        # overflow degrades gracefully (nearest-K kept) but drops geometry
-        k_per_tile = int(min(1024, max(128, (2 * t2) // max(n_tiles, 1))))
+        # overflow degrades gracefully (nearest-K kept). At many-tile targets
+        # a 512 cap measured faster than 1024 with zero coverage loss even at
+        # ~500k active triangles (nearest-K keeps the visible surface).
+        cap = 1024 if n_tiles < 256 else 512
+        k_per_tile = int(min(cap, max(128, (2 * t2) // max(n_tiles, 1))))
     if tiles_per_chunk is None:
         # fewer, fatter loop iterations amortize per-iteration overhead;
         # bounded so the [TC, K, tile²] intermediates stay ~100 MB
@@ -511,7 +514,8 @@ def rasterize_attributes(
     tw = -(-width // tile)
     n_tiles = th * tw
     if k_per_tile is None:
-        k_per_tile = int(min(1024, max(128, (2 * t2) // max(n_tiles, 1))))
+        cap = 1024 if n_tiles < 256 else 512
+        k_per_tile = int(min(cap, max(128, (2 * t2) // max(n_tiles, 1))))
     if tiles_per_chunk is None:
         tiles_per_chunk = max(
             8, min(128, n_tiles, (1 << 24) // (k_per_tile * tile * tile))

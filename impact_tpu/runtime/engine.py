@@ -74,6 +74,30 @@ class SimState(NamedTuple):
     rng: jnp.ndarray  # PRNG key
 
 
+class DistanceRulePools(NamedTuple):
+    """Distance-triggered rules (ref: impact_scene DistanceTriggeredRules —
+    disable shadow casting / remove the entity beyond distances from an
+    anchor entity, systems.rs:80)."""
+
+    body: jnp.ndarray  # i32[Dr] ruled entity's body slot
+    anchor_body: jnp.ndarray  # i32[Dr] anchor entity's body slot
+    obj_slot: jnp.ndarray  # i32[Dr] voxel-object slot (−1 = not voxel-bound)
+    no_shadow_d2: jnp.ndarray  # f32[Dr]
+    removal_d2: jnp.ndarray  # f32[Dr]
+    mask: jnp.ndarray  # bool[Dr]
+
+
+def empty_distance_rule_pools(cap: int = 16) -> DistanceRulePools:
+    return DistanceRulePools(
+        body=jnp.zeros(cap, jnp.int32),
+        anchor_body=jnp.zeros(cap, jnp.int32),
+        obj_slot=jnp.full(cap, -1, jnp.int32),
+        no_shadow_d2=jnp.full(cap, 1e30, jnp.float32),
+        removal_d2=jnp.full(cap, 1e30, jnp.float32),
+        mask=jnp.zeros(cap, bool),
+    )
+
+
 class EngineParams(NamedTuple):
     """Scene-constant device parameters."""
 
@@ -87,6 +111,8 @@ class EngineParams(NamedTuple):
     fracture_radius: jnp.ndarray  # f32[O]
     camera: Camera
     static_geometry: StaticGeometry
+    dist_rules: DistanceRulePools
+    casts_shadows_base: jnp.ndarray  # bool[O] scene-flag shadow casting
 
 
 def gather_objects(pool: VoxelObjectPool, idx) -> VoxelObjectPool:
@@ -210,6 +236,37 @@ def make_engine_step(
         np.any(np.asarray(params.absorbers.sph_mask))
         or np.any(np.asarray(params.absorbers.cap_mask))
     )
+    has_dist_rules = bool(np.any(np.asarray(params.dist_rules.mask)))
+
+    def _apply_distance_rules(phys, pool, params):
+        """Ref: impact_scene/src/systems.rs:80 — beyond no_shadow distance the
+        entity stops casting shadows; beyond removal distance it is removed
+        (body deactivated, voxel slot freed)."""
+        r = params.dist_rules
+        bodies = phys.bodies
+        d2 = jnp.sum(
+            (bodies.position[r.body] - bodies.position[r.anchor_body]) ** 2,
+            axis=-1,
+        )
+        remove = r.mask & (d2 > r.removal_d2)
+        no_shadow = r.mask & (d2 > r.no_shadow_d2)
+
+        kind = jnp.where(remove, 0, bodies.kind[r.body])
+        bodies = bodies._replace(kind=bodies.kind.at[r.body].set(kind))
+
+        slot = jnp.where(r.obj_slot >= 0, r.obj_slot, pool.n_objects)
+        alive = pool.alive.at[slot].set(
+            jnp.where(remove, False, pool.alive[jnp.clip(slot, 0, pool.n_objects - 1)]),
+            mode="drop",
+        )
+        casts = pool.casts_shadows.at[slot].set(
+            params.casts_shadows_base[jnp.clip(slot, 0, pool.n_objects - 1)]
+            & ~no_shadow,
+            mode="drop",
+        )
+        return phys._replace(bodies=bodies), pool._replace(
+            alive=alive, casts_shadows=casts
+        )
 
     def extra_contacts(pool, probes, params):
         def fn(bodies, contacts):
@@ -225,6 +282,10 @@ def make_engine_step(
         phys, pool = sim.phys, sim.voxels
         prev_pos = phys.bodies.position
         prev_ori = phys.bodies.orientation
+
+        # 0. distance-triggered rules (ref task HandleDistanceTriggeredEntityRules)
+        if has_dist_rules:
+            phys, pool = _apply_distance_rules(phys, pool, params)
 
         # 1. physics (with cached voxel probe contacts merged in)
         phys = physics_step(

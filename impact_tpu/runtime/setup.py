@@ -160,6 +160,11 @@ def _compile_scene_impl(
     voxel_response = np.zeros((o_max, 3), np.float32)
     drag_tables: list = []
     drag_map_index = np.full(tc.max_bodies, -1, np.int32)
+    from .engine import empty_distance_rule_pools
+
+    dist_rules = _staged(empty_distance_rule_pools())
+    casts_shadows_base = np.ones(o_max, bool)
+    entity_obj_slot: dict[int, int] = {}
     fracturable = np.zeros(o_max, bool)
     fracture_threshold = np.full(o_max, np.inf, np.float32)
     fracture_radius = np.ones(o_max, np.float32)
@@ -176,7 +181,7 @@ def _compile_scene_impl(
     cursor = {"body": 0, "sphere": 0, "plane": 0, "capsule": 0, "accel": 0,
               "local": 0, "spring": 0, "omni": 0, "uni": 0, "absorb": 0,
               "voxel": 0, "circ": 0, "lin": 0, "rot": 0, "osc": 0, "orb": 0,
-              "align": 0, "absorb_cap": 0, "joint": 0}
+              "align": 0, "absorb_cap": 0, "joint": 0, "dist_rule": 0}
     entity_body: dict[int, int] = {}
     info = {"voxel_objects": [], "bodies": {}}
 
@@ -347,6 +352,14 @@ def _compile_scene_impl(
                 ),
                 const_accel_mask=forces.const_accel_mask.at[j].set(True),
             )
+        entity_obj_slot[eid] = oi
+        if world.has_component(eid, C.SceneEntityFlags):
+            fl = int(world.get_component(eid, C.SceneEntityFlags).flags)
+            if fl & 2:  # CASTS_NO_SHADOWS
+                casts_shadows_base[oi] = False
+                pool = pool._replace(
+                    casts_shadows=pool.casts_shadows.at[oi].set(False)
+                )
         info["voxel_objects"].append({"entity": eid, "slot": oi, "body": bi})
         world.strip_setup_components(eid)
 
@@ -615,6 +628,27 @@ def _compile_scene_impl(
             )
         world.strip_setup_components(eid)
 
+    # --- pass 2.6: distance-triggered rules (need bodies resolved) --------------
+    for eid in world.entities_with(C.DistanceTriggeredRules):
+        dr = world.get_component(eid, C.DistanceTriggeredRules)
+        anchor = int(dr.anchor_id)
+        if eid in entity_body and anchor in entity_body:
+            j = cursor["dist_rule"]; cursor["dist_rule"] += 1
+            dist_rules = dist_rules._replace(
+                body=dist_rules.body.at[j].set(entity_body[eid]),
+                anchor_body=dist_rules.anchor_body.at[j].set(entity_body[anchor]),
+                obj_slot=dist_rules.obj_slot.at[j].set(
+                    entity_obj_slot.get(eid, -1)
+                ),
+                no_shadow_d2=dist_rules.no_shadow_d2.at[j].set(
+                    dr.no_shadowing_dist_squared
+                ),
+                removal_d2=dist_rules.removal_d2.at[j].set(
+                    dr.removal_dist_squared
+                ),
+                mask=dist_rules.mask.at[j].set(True),
+            )
+
     # --- pass 3: lights + camera ------------------------------------------------
     ambient = np.zeros(3, np.float32)
     for eid in world.entities_with(C.AmbientEmission):
@@ -710,6 +744,7 @@ def _compile_scene_impl(
     absorbers = _committed(absorbers)
     joints = _committed(joints)
     pool = _committed(pool)
+    dist_rules = _committed(dist_rules)
 
     if drag_tables:
         forces = forces._replace(
@@ -731,6 +766,8 @@ def _compile_scene_impl(
         fracture_radius=jnp.asarray(fracture_radius),
         camera=camera,
         static_geometry=_build_static_geometry(static_geometry, ground_planes),
+        dist_rules=dist_rules,
+        casts_shadows_base=jnp.asarray(casts_shadows_base),
     )
 
     # initial meshes + voxel body sync (reuse the engine's sync helper)

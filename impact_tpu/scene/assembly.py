@@ -162,4 +162,10 @@ def build_render_scene(
         tri_active=jnp.concatenate(
             [tri_ok.reshape(-1), static_geometry.tri_active]
         ),
+        tri_shadow=jnp.concatenate(
+            [
+                (tri_ok & pool.casts_shadows[:, None]).reshape(-1),
+                jnp.ones_like(static_geometry.tri_active),
+            ]
+        ),
     )

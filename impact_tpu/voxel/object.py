@@ -43,6 +43,8 @@ class VoxelObjectPool(NamedTuple):
     vtype: jnp.ndarray  # i32[O,G,G,G] material index
     mesh_dirty: jnp.ndarray  # bool[O] re-mesh needed
     split_pending: jnp.ndarray  # bool[O] connectivity re-check needed
+    casts_shadows: jnp.ndarray  # bool[O] shadow-caster flag (scene flags +
+    # distance-triggered rules, ref: impact_scene ModelInstanceFlags)
     # (mesh_dirty clears after remesh each step; split_pending persists until
     # CCL confirms the object is connected — the reference's incremental
     # split-detection bookkeeping, split_detection.rs)
@@ -73,6 +75,7 @@ def empty_voxel_object_pool(
         vtype=jnp.zeros((n_objects, g, g, g), jnp.int32),
         mesh_dirty=jnp.zeros(n_objects, bool),
         split_pending=jnp.zeros(n_objects, bool),
+        casts_shadows=jnp.ones(n_objects, bool),
     )
 
 

@@ -180,3 +180,49 @@ def test_profile_trace_writes_events(tmp_path):
 
     files = list(pathlib.Path(tmp_path).rglob("*"))
     assert any(f.is_file() for f in files), files
+
+
+class TestDistanceTriggeredRules:
+    def test_shadow_disable_and_removal(self):
+        """Beyond no_shadowing distance the object stops casting shadows;
+        beyond removal distance its body and voxel slot deactivate
+        (ref: impact_scene DistanceTriggeredRules, systems.rs:80)."""
+        cfg = EngineConfig()
+        cfg.tpu.max_voxel_objects = 2
+        cfg.tpu.max_bodies = 16
+        cfg.tpu.max_contacts = 32
+        cfg.tpu.voxel_grid_size = 16
+        cfg.tpu.render_width = 48
+        cfg.tpu.render_height = 32
+        cfg.rendering.shadow_mapping.enabled = False
+        cfg.rendering.ambient_occlusion.enabled = False
+        cfg.physics.simulator.initial_time_step_duration = 0.01
+        world = World()
+        anchor = world.create_entity(
+            C.ReferenceFrame(position=(0.0, 0.0, 0.0)),
+            C.KinematicRigidBodyMarker(),
+        )
+        world.create_entity(
+            C.ReferenceFrame(position=(4.0, 0.0, 0.0)),
+            C.Motion(linear_velocity=(2.0, 0.0, 0.0)),
+            C.VoxelBox(voxel_extent=0.25, extent_x=6, extent_y=6, extent_z=6),
+            C.SameVoxelType(voxel_type=0),
+            C.DynamicVoxels(),
+            C.DistanceTriggeredRules(
+                anchor_id=anchor,
+                no_shadowing_dist_squared=36.0,  # 6 units
+                removal_dist_squared=100.0,  # 10 units
+            ),
+        )
+        rt = HeadlessRuntime(compile_scene(world, cfg), cfg)
+        assert bool(rt.sim.voxels.casts_shadows[0])
+        rt.step(1)  # at ~4 units: both within limits
+        assert bool(rt.sim.voxels.casts_shadows[0])
+        assert bool(rt.sim.voxels.alive[0])
+        rt.step(180)  # drifts to ~7.6 units: shadows off, still alive
+        assert not bool(rt.sim.voxels.casts_shadows[0])
+        assert bool(rt.sim.voxels.alive[0])
+        rt.step(200)  # beyond 10 units: removed
+        assert not bool(rt.sim.voxels.alive[0])
+        body = int(rt.params.dist_rules.body[0])
+        assert int(rt.sim.phys.bodies.kind[body]) == 0
