@@ -8,6 +8,7 @@ over the same graph model (impact_tpu.voxel.sdf dict graphs as JSON):
     python apps/voxel_generator.py preview graph.json out.png
     python apps/voxel_generator.py stats graph.json
     python apps/voxel_generator.py example out.json     # writes a demo graph
+    python apps/voxel_generator.py vary graph.json outdir N   # N seed variants
 """
 
 from __future__ import annotations
@@ -99,8 +100,10 @@ def cmd_preview(path, out_png, grid_size=48, extent=0.5):
         vert_f0=jnp.full((v, 3), 0.04),
         vert_roughness=jnp.full(v, 0.8),
         vert_emissive=jnp.zeros((v, 3)),
+        vert_material=jnp.full((v,), -1, jnp.int32),
         tri_indices=mesh.tri_indices,
         tri_active=mesh.tri_active,
+        tri_shadow=mesh.tri_active,
     )
     lights = empty_light_pools(1, 1)
     lights = lights._replace(
@@ -130,6 +133,31 @@ def cmd_preview(path, out_png, grid_size=48, extent=0.5):
     print(f"wrote {out_png}")
 
 
+def cmd_vary(path, out_dir, n: int = 4):
+    """Render ``n`` seed variations of a (meta) graph — the headless analog of
+    the editor's stochastic-parameter exploration (meta graphs resample their
+    distributions per seed; atomic graphs rendered once per seed identically).
+    """
+    import pathlib
+
+    pathlib.Path(out_dir).mkdir(parents=True, exist_ok=True)
+    for seed in range(n):
+        import json
+
+        from impact_tpu.voxel import meta_sdf, sdf
+
+        with open(path, "r", encoding="utf-8") as f:
+            node = json.load(f)
+        tmp = pathlib.Path(out_dir) / f"_variant_{seed}.json"
+        if isinstance(node, dict) and str(node.get("kind", "")).startswith("meta_"):
+            lowered = meta_sdf.lower(node, seed=seed)
+        else:
+            lowered = sdf.validate(node)
+        sdf.save_graph(tmp, lowered)
+        cmd_preview(str(tmp), str(pathlib.Path(out_dir) / f"variant_{seed}.png"))
+        tmp.unlink()
+
+
 def main(argv):
     if len(argv) < 2:
         print(__doc__)
@@ -141,6 +169,8 @@ def main(argv):
         cmd_stats(argv[2])
     elif cmd == "preview":
         cmd_preview(argv[2], argv[3])
+    elif cmd == "vary":
+        cmd_vary(argv[2], argv[3], int(argv[4]) if len(argv) > 4 else 4)
     else:
         print(__doc__)
         return 1

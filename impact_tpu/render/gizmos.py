@@ -20,13 +20,20 @@ import numpy as np
 
 from ..math import quaternion as quat
 
-# gizmo kinds (subset of the reference's 21; the pool design extends freely)
+# gizmo kinds (ref: impact_gizmo/src/lib.rs:39-61 — the 21 GizmoTypes; the
+# line-pool design covers each as a set of colored segments)
 GIZMO_AXES = "reference_frame_axes"
 GIZMO_LINEAR_VELOCITY = "linear_velocity"
 GIZMO_ANGULAR_VELOCITY = "angular_velocity"
+GIZMO_ANGULAR_MOMENTUM = "angular_momentum"
+GIZMO_FORCE = "force"
+GIZMO_TORQUE = "torque"
 GIZMO_CENTER_OF_MASS = "center_of_mass"
 GIZMO_CONTACTS = "contacts"
 GIZMO_COLLIDERS = "colliders"
+GIZMO_BOUNDING_SPHERES = "bounding_spheres"
+GIZMO_VOXEL_CHUNKS = "voxel_chunks"
+GIZMO_LIGHT_SPHERES = "light_spheres"
 
 AXIS_COLORS = np.asarray(
     [[0.9, 0.15, 0.15], [0.15, 0.9, 0.15], [0.2, 0.35, 0.95]], np.float32
@@ -98,6 +105,126 @@ def build_gizmo_lines(sim, params, kinds=(GIZMO_AXES, GIZMO_LINEAR_VELOCITY, GIZ
                 cache.active,
             )
         )
+
+    if GIZMO_ANGULAR_MOMENTUM in kinds:
+        parts.append(
+            GizmoLines(
+                bodies.position,
+                bodies.position + bodies.angular_momentum * 0.1,
+                jnp.broadcast_to(jnp.asarray([0.6, 0.1, 0.9]), (n, 3)),
+                alive
+                & (jnp.linalg.norm(bodies.angular_momentum, axis=-1) > 1e-3),
+            )
+        )
+
+    if GIZMO_FORCE in kinds:
+        parts.append(
+            GizmoLines(
+                bodies.position,
+                bodies.position + bodies.total_force * 0.01,
+                jnp.broadcast_to(jnp.asarray([0.95, 0.55, 0.1]), (n, 3)),
+                alive & (jnp.linalg.norm(bodies.total_force, axis=-1) > 1e-3),
+            )
+        )
+
+    if GIZMO_TORQUE in kinds:
+        parts.append(
+            GizmoLines(
+                bodies.position,
+                bodies.position + bodies.total_torque * 0.01,
+                jnp.broadcast_to(jnp.asarray([0.55, 0.95, 0.1]), (n, 3)),
+                alive & (jnp.linalg.norm(bodies.total_torque, axis=-1) > 1e-3),
+            )
+        )
+
+    if GIZMO_CENTER_OF_MASS in kinds:
+        # small cross at every dynamic body's COM
+        for axis in range(3):
+            d = jnp.eye(3)[axis] * 0.15
+            parts.append(
+                GizmoLines(
+                    bodies.position - d,
+                    bodies.position + d,
+                    jnp.broadcast_to(jnp.asarray([1.0, 1.0, 1.0]), (n, 3)),
+                    alive & bodies.is_dynamic,
+                )
+            )
+
+    if GIZMO_BOUNDING_SPHERES in kinds and sim is not None:
+        # voxel-object bounding spheres as 3 great-circle polylines
+        from ..voxel.collision import bounding_radii
+
+        pool = sim.voxels
+        radii = bounding_radii(pool)
+        centers = bodies.position[pool.body_index]
+        n_seg = 24
+        ang = np.linspace(0.0, 2.0 * np.pi, n_seg + 1)
+        for plane in ((0, 1), (0, 2), (1, 2)):
+            for i in range(n_seg):
+                p0 = np.zeros(3)
+                p1 = np.zeros(3)
+                d0 = jnp.zeros((pool.n_objects, 3))
+                d0 = d0.at[:, plane[0]].set(np.cos(ang[i])).at[:, plane[1]].set(np.sin(ang[i]))
+                d1 = jnp.zeros((pool.n_objects, 3))
+                d1 = d1.at[:, plane[0]].set(np.cos(ang[i + 1])).at[:, plane[1]].set(np.sin(ang[i + 1]))
+                parts.append(
+                    GizmoLines(
+                        centers + radii[:, None] * d0,
+                        centers + radii[:, None] * d1,
+                        jnp.broadcast_to(
+                            jnp.asarray([0.3, 0.8, 0.3]), (pool.n_objects, 3)
+                        ),
+                        pool.alive,
+                    )
+                )
+
+    if GIZMO_VOXEL_CHUNKS in kinds and sim is not None:
+        # grid-extent boxes around each voxel object (12 edges)
+        pool = sim.voxels
+        from ..math import quaternion as _q
+
+        g = pool.grid_size
+        lo = pool.origin  # body frame
+        hi = pool.origin + g * pool.voxel_extent[:, None]
+        q = bodies.orientation[pool.body_index]
+        x = bodies.position[pool.body_index]
+
+        def corner(mask):
+            local = jnp.where(jnp.asarray(mask, bool)[None, :], hi, lo)
+            return _q.rotate(q, local) + x
+
+        edges = [
+            ((0, 0, 0), (1, 0, 0)), ((0, 0, 0), (0, 1, 0)), ((0, 0, 0), (0, 0, 1)),
+            ((1, 1, 0), (0, 1, 0)), ((1, 1, 0), (1, 0, 0)), ((1, 1, 0), (1, 1, 1)),
+            ((1, 0, 1), (0, 0, 1)), ((1, 0, 1), (1, 0, 0)), ((1, 0, 1), (1, 1, 1)),
+            ((0, 1, 1), (0, 0, 1)), ((0, 1, 1), (0, 1, 0)), ((0, 1, 1), (1, 1, 1)),
+        ]
+        for a, b in edges:
+            parts.append(
+                GizmoLines(
+                    corner(a), corner(b),
+                    jnp.broadcast_to(
+                        jnp.asarray([0.9, 0.8, 0.2]), (pool.n_objects, 3)
+                    ),
+                    pool.alive,
+                )
+            )
+
+    if GIZMO_LIGHT_SPHERES in kinds and params is not None:
+        lp = params.lights
+        nl = lp.omni_mask.shape[0]
+        for axis in range(3):
+            d = jnp.eye(3)[axis][None, :] * jnp.maximum(
+                lp.omni_extent, 0.25
+            )[:, None]
+            parts.append(
+                GizmoLines(
+                    lp.omni_position - d,
+                    lp.omni_position + d,
+                    jnp.broadcast_to(jnp.asarray([1.0, 1.0, 0.5]), (nl, 3)),
+                    lp.omni_mask,
+                )
+            )
 
     if GIZMO_COLLIDERS in kinds:
         coll = params.phys_params.collidables
