@@ -489,3 +489,115 @@ class OrthographicCamera:
     vertical_field_of_view: float = 0.02  # radians
     near_distance: float = 0.01
     far_distance: float = 1000.0
+
+
+# --- mesh models (ref: impact_mesh/src/setup.rs mesh setup components) ---------
+
+
+@component(setup=True)
+class BoxMesh:
+    """Axis-aligned box mesh (ref: impact_mesh setup.rs BoxMesh; unit cube =
+    extents 1)."""
+
+    extent_x: float = 1.0
+    extent_y: float = 1.0
+    extent_z: float = 1.0
+
+
+@component(setup=True)
+class SphereMesh:
+    """Lat/long unit-diameter sphere mesh (ref: setup.rs SphereMesh)."""
+
+    n_rings: int = 15
+
+
+@component(setup=True)
+class HemisphereMesh:
+    """Upper-half unit-diameter sphere (ref: setup.rs HemisphereMesh)."""
+
+    n_rings: int = 8
+
+
+@component(setup=True)
+class CylinderMesh:
+    """Y-axis cylinder, base at the origin (ref: setup.rs CylinderMesh)."""
+
+    length: float = 1.0
+    diameter: float = 1.0
+    n_circumference_vertices: int = 15
+
+
+@component(setup=True)
+class ConeMesh:
+    """Y-axis cone, base at the origin (ref: setup.rs ConeMesh)."""
+
+    length: float = 1.0
+    max_diameter: float = 1.0
+    n_circumference_vertices: int = 15
+
+
+@component(setup=True)
+class CapsuleMesh:
+    """Y-axis capsule centered on the origin (ref: setup.rs CapsuleMesh)."""
+
+    segment_length: float = 1.0
+    diameter: float = 1.0
+    n_circumference_vertices: int = 15
+
+
+@component(setup=True)
+class RectangleMesh:
+    """Unit square in the xz-plane, +y normal (ref: setup.rs RectangleMesh)."""
+
+    extent_x: float = 1.0
+    extent_z: float = 1.0
+
+
+@component(setup=True)
+class TriangleMeshFile:
+    """OBJ/PLY mesh import by path hash — the path is looked up host-side at
+    setup (ref: impact_mesh/src/io/{obj,ply}.rs import components)."""
+
+    path_hash: ("u64", ()) = 0
+
+
+# --- per-entity material setup (ref: impact_material/src/setup/physical.rs) ----
+
+
+@component(setup=True)
+class UniformColor:
+    """Uniform base color: albedo for dielectrics, F0 tint for metals
+    (ref: setup/physical.rs:36 UniformColor)."""
+
+    color: ("f32", 3) = (1.0, 1.0, 1.0)
+
+
+@component(setup=True)
+class UniformSpecularReflectance:
+    """Scalar specular reflectance at normal incidence (ref:
+    setup/physical.rs:62; METAL_MAX = 1.0, WATER = 0.02, etc.)."""
+
+    reflectance: float = 0.0
+
+
+@component(setup=True)
+class UniformRoughness:
+    """GGX roughness in [0,1] (ref: setup/physical.rs:108)."""
+
+    roughness: float = 1.0
+
+
+@component(setup=True)
+class UniformMetalness:
+    """Metalness in [0,1]: blends albedo into F0 (ref: setup/physical.rs:136;
+    add_metal = 1.0)."""
+
+    metalness: float = 0.0
+
+
+@component(setup=True)
+class UniformEmissiveLuminance:
+    """Emitted luminance (cd/m²), tinted by the entity color (ref:
+    setup/physical.rs:178 UniformEmissiveLuminance)."""
+
+    luminance: float = 0.0

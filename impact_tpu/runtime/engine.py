@@ -40,6 +40,7 @@ from ..physics.step import physics_step
 from ..render import Camera, LightPools, RenderConfig, empty_light_pools
 from ..render.pipeline import RenderState, init_render_state, render_frame
 from ..scene.assembly import (
+    MeshInstancePool,
     StaticGeometry,
     build_render_scene,
     empty_static_geometry,
@@ -113,6 +114,7 @@ class EngineParams(NamedTuple):
     static_geometry: StaticGeometry
     dist_rules: DistanceRulePools
     casts_shadows_base: jnp.ndarray  # bool[O] scene-flag shadow casting
+    mesh_instances: MeshInstancePool  # renderable mesh-model entities
 
 
 def gather_objects(pool: VoxelObjectPool, idx) -> VoxelObjectPool:

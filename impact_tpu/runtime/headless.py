@@ -63,6 +63,24 @@ class HeadlessRuntime:
         )
         self._step = jax.jit(step_fn)  # step(sim, params)
 
+        # K steps per dispatch: the per-program floor (~3 ms dispatch + ~30 ms
+        # for a full-SimState program through the tunnel) dominates small
+        # scenes, so the headless loop batches steps with lax.scan when no
+        # render interleaves (ref: the reference amortizes per-frame overhead
+        # across its 38-task DAG; here the analog is amortizing XLA dispatch)
+        self._step_batch_size = k = int(
+            getattr(self.config.tpu, "steps_per_dispatch", 8)
+        )
+
+        def step_k(sim, params):
+            def body(s, _):
+                return step_fn(s, params), None
+
+            s, _ = jax.lax.scan(body, sim, None, length=k)
+            return s
+
+        self._step_k = jax.jit(step_k)
+
     def invalidate_render(self):
         self.render_config = render_config_from_engine_config(self.config)
         params = self.params
@@ -87,6 +105,7 @@ class HeadlessRuntime:
                 sim.phys.bodies.position, sim.phys.bodies.orientation,
                 sim.prev_position, sim.prev_orientation,
                 params.static_geometry,
+                params.mesh_instances,
             )
             return compact_scene_triangles(scene, rc.max_triangles)
 
@@ -194,6 +213,10 @@ class HeadlessRuntime:
         if self.paused:
             return self.sim
         with self.timer.time("step", block_on=None):
+            k = self._step_batch_size
+            while n >= k > 1:
+                self.sim = self._step_k(self.sim, self.params)
+                n -= k
             for _ in range(n):
                 self.sim = self._step(self.sim, self.params)
             jax.block_until_ready(self.sim)

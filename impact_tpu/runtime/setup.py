@@ -45,6 +45,20 @@ class SceneBuildResult:
         self.info = info
 
 
+# OBJ/PLY files referenced by TriangleMeshFile components, keyed by the FNV-1a
+# hash of their path (ref: impact_mesh path-hash mesh IDs, io/{obj,ply}.rs)
+MESH_FILE_PATHS: dict[int, str] = {}
+
+
+def register_mesh_file(path: str) -> int:
+    """Register a mesh file for TriangleMeshFile setup; returns the path hash."""
+    from ..utils.hashing import hash64
+
+    h = int(hash64(str(path)))
+    MESH_FILE_PATHS[h] = str(path)
+    return h
+
+
 # --- numpy staging shim --------------------------------------------------------
 # Scene compilation performs thousands of tiny slot writes; doing them as
 # jnp ``.at[].set`` would dispatch one XLA op each (minutes of host time).
@@ -363,6 +377,109 @@ def _compile_scene_impl(
         info["voxel_objects"].append({"entity": eid, "slot": oi, "body": bi})
         world.strip_setup_components(eid)
 
+    # --- pass 1.9: record renderable mesh-model entities BEFORE body passes
+    # strip their setup components (ref: impact_mesh setup.rs + impact_material
+    # setup/physical.rs:36-214). Meshes are generated here; slots are filled in
+    # pass 2.7 once entity->body mapping is known.
+    from ..scene import mesh as meshlib
+
+    def _mesh_for_entity(eid):
+        if world.has_component(eid, C.BoxMesh):
+            c = world.get_component(eid, C.BoxMesh)
+            return meshlib.box_mesh((c.extent_x, c.extent_y, c.extent_z))
+        if world.has_component(eid, C.SphereMesh):
+            c = world.get_component(eid, C.SphereMesh)
+            n = int(c.n_rings)
+            return meshlib.sphere_mesh(1.0, n, 2 * n + 2)
+        if world.has_component(eid, C.HemisphereMesh):
+            c = world.get_component(eid, C.HemisphereMesh)
+            n = int(c.n_rings)
+            return meshlib.hemisphere_mesh(1.0, n, 2 * n + 2)
+        if world.has_component(eid, C.CylinderMesh):
+            c = world.get_component(eid, C.CylinderMesh)
+            m = meshlib.cylinder_mesh(
+                0.5 * c.diameter, c.length, int(c.n_circumference_vertices)
+            )
+            # reference convention: bottom centered at the origin
+            return m._replace(positions=m.positions + np.array(
+                [0.0, 0.5 * c.length, 0.0], np.float32))
+        if world.has_component(eid, C.ConeMesh):
+            c = world.get_component(eid, C.ConeMesh)
+            m = meshlib.cone_mesh(
+                0.5 * c.max_diameter, c.length, int(c.n_circumference_vertices)
+            )
+            return m._replace(positions=m.positions + np.array(
+                [0.0, 0.5 * c.length, 0.0], np.float32))
+        if world.has_component(eid, C.CapsuleMesh):
+            c = world.get_component(eid, C.CapsuleMesh)
+            return meshlib.capsule_mesh(
+                0.5 * c.diameter, c.segment_length,
+                max(4, int(c.n_circumference_vertices) // 2),
+                int(c.n_circumference_vertices),
+            )
+        if world.has_component(eid, C.RectangleMesh):
+            c = world.get_component(eid, C.RectangleMesh)
+            return meshlib.rectangle_mesh(c.extent_x, c.extent_z)
+        if world.has_component(eid, C.TriangleMeshFile):
+            c = world.get_component(eid, C.TriangleMeshFile)
+            path = MESH_FILE_PATHS.get(int(c.path_hash))
+            if path is None:
+                return None
+            pth = str(path)
+            return (meshlib.load_ply(pth) if pth.endswith(".ply")
+                    else meshlib.load_obj(pth))
+        return None
+
+    _mesh_comps = (
+        C.BoxMesh, C.SphereMesh, C.HemisphereMesh, C.CylinderMesh, C.ConeMesh,
+        C.CapsuleMesh, C.RectangleMesh, C.TriangleMeshFile,
+    )
+    mesh_pending = []
+    for eid in world.entities_with():
+        if not any(world.has_component(eid, mc) for mc in _mesh_comps):
+            continue
+        tri_mesh = _mesh_for_entity(eid)
+        if tri_mesh is None:
+            continue
+        pos_l = np.asarray(tri_mesh.positions, np.float32)
+        nrm_l = np.asarray(tri_mesh.normals, np.float32)
+        idx_l = np.asarray(tri_mesh.indices, np.int32)
+        if world.has_component(eid, C.ModelTransform):
+            mt = world.get_component(eid, C.ModelTransform)
+            pos_l = pos_l * np.float32(mt.scale) + np.asarray(
+                mt.offset, np.float32
+            )
+        color = np.ones(3, np.float32)
+        if world.has_component(eid, C.UniformColor):
+            color = np.asarray(
+                world.get_component(eid, C.UniformColor).color, np.float32
+            )
+        spec = 0.0
+        if world.has_component(eid, C.UniformSpecularReflectance):
+            spec = float(world.get_component(
+                eid, C.UniformSpecularReflectance).reflectance)
+        rough = 1.0
+        if world.has_component(eid, C.UniformRoughness):
+            rough = float(world.get_component(eid, C.UniformRoughness).roughness)
+        metal = 0.0
+        if world.has_component(eid, C.UniformMetalness):
+            metal = float(world.get_component(eid, C.UniformMetalness).metalness)
+        emis = 0.0
+        if world.has_component(eid, C.UniformEmissiveLuminance):
+            emis = float(world.get_component(
+                eid, C.UniformEmissiveLuminance).luminance)
+        casts = True
+        if world.has_component(eid, C.SceneEntityFlags):
+            casts = not (
+                int(world.get_component(eid, C.SceneEntityFlags).flags) & 2
+            )
+        pos, ori = frame_of(eid)
+        mesh_pending.append(dict(
+            eid=eid, pos_l=pos_l, nrm_l=nrm_l, idx_l=idx_l, color=color,
+            spec=spec, rough=rough, metal=metal, emis=emis, casts=casts,
+            pos=pos, ori=ori,
+        ))
+
     # --- pass 2: regular bodies + collidables + forces + drivers ----------------
     for eid in world.entities_with():
         if eid in entity_body:
@@ -649,6 +766,51 @@ def _compile_scene_impl(
                 mask=dist_rules.mask.at[j].set(True),
             )
 
+    # --- pass 2.7: renderable mesh-model entities -------------------------------
+    # (recorded in pass 1.9 before the body passes stripped their setup
+    # components; ref: impact_mesh/src/setup.rs + impact_material
+    # setup/physical.rs:36-214. Entities become posed MeshInstancePool slots —
+    # body-driven when they have a rigid body.)
+    from ..scene.assembly import empty_mesh_instances
+
+    m_cap = config.tpu.max_mesh_entities
+    vm_cap = config.tpu.max_mesh_entity_verts
+    tm_cap = config.tpu.max_mesh_entity_tris
+    mesh_instances = _staged(empty_mesh_instances(m_cap, vm_cap, tm_cap))
+    mesh_cursor = 0
+
+    for rec in mesh_pending:
+        mi = mesh_cursor
+        assert mi < m_cap, "mesh-entity pool exhausted (tpu.max_mesh_entities)"
+        mesh_cursor += 1
+        pos_l, nrm_l, idx_l = rec["pos_l"], rec["nrm_l"], rec["idx_l"]
+        nv, nt = pos_l.shape[0], idx_l.shape[0]
+        assert nv <= vm_cap and nt <= tm_cap, (
+            f"mesh entity exceeds caps: {nv} verts/{nt} tris "
+            f"(tpu.max_mesh_entity_verts/_tris)"
+        )
+        color, metal = rec["color"], rec["metal"]
+        albedo = color * (1.0 - metal)
+        f0 = np.full(3, rec["spec"], np.float32) * (1.0 - metal) + color * metal
+        mesh_instances = mesh_instances._replace(
+            vert_pos=mesh_instances.vert_pos.at[mi, :nv].set(pos_l),
+            vert_normal=mesh_instances.vert_normal.at[mi, :nv].set(nrm_l),
+            vert_active=mesh_instances.vert_active.at[mi, :nv].set(True),
+            tri_indices=mesh_instances.tri_indices.at[mi, :nt].set(idx_l),
+            tri_active=mesh_instances.tri_active.at[mi, :nt].set(True),
+            albedo=mesh_instances.albedo.at[mi].set(albedo),
+            f0=mesh_instances.f0.at[mi].set(f0),
+            roughness=mesh_instances.roughness.at[mi].set(rec["rough"]),
+            emissive=mesh_instances.emissive.at[mi].set(color * rec["emis"]),
+            body_index=mesh_instances.body_index.at[mi].set(
+                entity_body.get(rec["eid"], -1)
+            ),
+            position=mesh_instances.position.at[mi].set(rec["pos"]),
+            orientation=mesh_instances.orientation.at[mi].set(rec["ori"]),
+            alive=mesh_instances.alive.at[mi].set(True),
+            casts_shadows=mesh_instances.casts_shadows.at[mi].set(rec["casts"]),
+        )
+
     # --- pass 3: lights + camera ------------------------------------------------
     ambient = np.zeros(3, np.float32)
     for eid in world.entities_with(C.AmbientEmission):
@@ -735,6 +897,10 @@ def _compile_scene_impl(
         },
     )
 
+    # trim the mesh-instance pool to the scene's actual count
+    n_mesh = mesh_cursor
+    mesh_instances = jax.tree.map(lambda a: a[:n_mesh], mesh_instances)
+
     # commit numpy staging to device arrays
     bodies = _committed(bodies)
     coll = _committed(coll)
@@ -745,6 +911,7 @@ def _compile_scene_impl(
     joints = _committed(joints)
     pool = _committed(pool)
     dist_rules = _committed(dist_rules)
+    mesh_instances = _committed(mesh_instances)
 
     if drag_tables:
         forces = forces._replace(
@@ -768,6 +935,7 @@ def _compile_scene_impl(
         static_geometry=_build_static_geometry(static_geometry, ground_planes),
         dist_rules=dist_rules,
         casts_shadows_base=jnp.asarray(casts_shadows_base),
+        mesh_instances=mesh_instances,
     )
 
     # initial meshes + voxel body sync (reuse the engine's sync helper)

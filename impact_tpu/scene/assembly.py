@@ -36,6 +36,55 @@ class StaticGeometry(NamedTuple):
     tri_active: jnp.ndarray  # bool[Ts]
 
 
+class MeshInstancePool(NamedTuple):
+    """Renderable mesh-model entities with per-entity materials.
+
+    Ref: impact_model/src/lib.rs:25-50 (per-model instance buffers with
+    model-view transforms incl. previous frame) + impact_material
+    setup/physical.rs:36-214 (UniformColor/SpecularReflectance/Roughness/
+    Metalness/EmissiveLuminance components). TPU shape: fixed-capacity slot
+    pool of local-space meshes (ModelTransform scale+offset folded in) posed
+    per frame by either a rigid body (``body_index`` >= 0 — a moving mesh
+    entity) or a static reference frame.
+    """
+
+    vert_pos: jnp.ndarray  # f32[M,Vm,3] local (model transform folded)
+    vert_normal: jnp.ndarray  # f32[M,Vm,3]
+    vert_active: jnp.ndarray  # bool[M,Vm]
+    tri_indices: jnp.ndarray  # i32[M,Tm,3]
+    tri_active: jnp.ndarray  # bool[M,Tm]
+    albedo: jnp.ndarray  # f32[M,3]
+    f0: jnp.ndarray  # f32[M,3]
+    roughness: jnp.ndarray  # f32[M]
+    emissive: jnp.ndarray  # f32[M,3]
+    body_index: jnp.ndarray  # i32[M] rigid body slot, -1 = static pose
+    position: jnp.ndarray  # f32[M,3] static pose fallback
+    orientation: jnp.ndarray  # f32[M,4]
+    alive: jnp.ndarray  # bool[M]
+    casts_shadows: jnp.ndarray  # bool[M]
+
+
+def empty_mesh_instances(m: int, vm: int, tm: int) -> MeshInstancePool:
+    return MeshInstancePool(
+        vert_pos=jnp.zeros((m, vm, 3), jnp.float32),
+        vert_normal=jnp.zeros((m, vm, 3), jnp.float32),
+        vert_active=jnp.zeros((m, vm), bool),
+        tri_indices=jnp.zeros((m, tm, 3), jnp.int32),
+        tri_active=jnp.zeros((m, tm), bool),
+        albedo=jnp.zeros((m, 3), jnp.float32),
+        f0=jnp.zeros((m, 3), jnp.float32),
+        roughness=jnp.ones((m,), jnp.float32),
+        emissive=jnp.zeros((m, 3), jnp.float32),
+        body_index=jnp.full((m,), -1, jnp.int32),
+        position=jnp.zeros((m, 3), jnp.float32),
+        orientation=jnp.tile(
+            jnp.asarray([[0.0, 0.0, 0.0, 1.0]], jnp.float32), (m, 1)
+        ),
+        alive=jnp.zeros((m,), bool),
+        casts_shadows=jnp.ones((m,), bool),
+    )
+
+
 def empty_static_geometry() -> StaticGeometry:
     return StaticGeometry(
         vert_pos=jnp.zeros((0, 3), jnp.float32),
@@ -90,8 +139,10 @@ def build_render_scene(
     body_position_prev,  # f32[N,3] previous frame (motion vectors)
     body_orientation_prev,  # f32[N,4]
     static_geometry: StaticGeometry,
+    mesh_instances: MeshInstancePool | None = None,
 ) -> RenderScene:
-    """Flatten voxel meshes + static geometry into one RenderScene."""
+    """Flatten voxel meshes + static geometry + mesh models into one
+    RenderScene."""
     o, vc, _ = meshes.vert_pos.shape
     tc = meshes.tri_active.shape[1]
 
@@ -128,7 +179,7 @@ def build_render_scene(
 
     vs = static_geometry.vert_pos.shape[0]
     base = o * vc
-    return RenderScene(
+    scene = RenderScene(
         vert_pos=jnp.concatenate([world.reshape(-1, 3), static_geometry.vert_pos]),
         vert_pos_prev=jnp.concatenate(
             [world_prev.reshape(-1, 3), static_geometry.vert_pos]
@@ -166,6 +217,75 @@ def build_render_scene(
             [
                 (tri_ok & pool.casts_shadows[:, None]).reshape(-1),
                 jnp.ones_like(static_geometry.tri_active),
+            ]
+        ),
+    )
+    if mesh_instances is not None and mesh_instances.alive.shape[0] > 0:
+        scene = _append_mesh_instances(
+            scene, mesh_instances,
+            body_position, body_orientation,
+            body_position_prev, body_orientation_prev,
+        )
+    return scene
+
+
+def _append_mesh_instances(
+    scene: RenderScene,
+    mi: MeshInstancePool,
+    body_position, body_orientation,
+    body_position_prev, body_orientation_prev,
+) -> RenderScene:
+    """Pose mesh-model instances and append them to the flat RenderScene
+    (ref: impact_model/src/transform.rs InstanceModelViewTransformWithPrevious
+    — current + previous pose for motion vectors)."""
+    m, vm, _ = mi.vert_pos.shape
+    tm = mi.tri_active.shape[1]
+    use_body = (mi.body_index >= 0)[:, None]
+    bi = jnp.maximum(mi.body_index, 0)
+    q = jnp.where(use_body, body_orientation[bi], mi.orientation)[:, None, :]
+    x = jnp.where(use_body, body_position[bi], mi.position)[:, None, :]
+    qp = jnp.where(use_body, body_orientation_prev[bi], mi.orientation)[:, None, :]
+    xp = jnp.where(use_body, body_position_prev[bi], mi.position)[:, None, :]
+    world = quat.rotate(q, mi.vert_pos) + x
+    world_prev = quat.rotate(qp, mi.vert_pos) + xp
+    normal_world = quat.rotate(q, mi.vert_normal)
+
+    vert_ok = mi.vert_active & mi.alive[:, None]
+    tri_ok = mi.tri_active & mi.alive[:, None]
+    base = scene.vert_pos.shape[0]
+    offs = base + (jnp.arange(m, dtype=jnp.int32) * vm)[:, None, None]
+    tri_idx_flat = (mi.tri_indices + offs).reshape(m * tm, 3)
+
+    def per_vert(a):  # [M,3] or [M] -> flat per-vertex
+        if a.ndim == 1:
+            return jnp.broadcast_to(a[:, None], (m, vm)).reshape(-1)
+        return jnp.broadcast_to(a[:, None, :], (m, vm, a.shape[1])).reshape(-1, a.shape[1])
+
+    return RenderScene(
+        vert_pos=jnp.concatenate([scene.vert_pos, world.reshape(-1, 3)]),
+        vert_pos_prev=jnp.concatenate(
+            [scene.vert_pos_prev, world_prev.reshape(-1, 3)]
+        ),
+        vert_normal=jnp.concatenate(
+            [scene.vert_normal, normal_world.reshape(-1, 3)]
+        ),
+        vert_albedo=jnp.concatenate([scene.vert_albedo, per_vert(mi.albedo)]),
+        vert_f0=jnp.concatenate([scene.vert_f0, per_vert(mi.f0)]),
+        vert_roughness=jnp.concatenate(
+            [scene.vert_roughness, per_vert(mi.roughness)]
+        ),
+        vert_emissive=jnp.concatenate(
+            [scene.vert_emissive, per_vert(mi.emissive)]
+        ),
+        vert_material=jnp.concatenate(
+            [scene.vert_material, jnp.full((m * vm,), -1, jnp.int32)]
+        ),
+        tri_indices=jnp.concatenate([scene.tri_indices, tri_idx_flat]),
+        tri_active=jnp.concatenate([scene.tri_active, tri_ok.reshape(-1)]),
+        tri_shadow=jnp.concatenate(
+            [
+                scene.tri_shadow,
+                (tri_ok & mi.casts_shadows[:, None]).reshape(-1),
             ]
         ),
     )

@@ -294,6 +294,13 @@ class TpuConfig:
     orthographic_camera: bool = False  # set by compile_scene on OrthographicCamera
     bf16_shading: bool = False  # BRDF math in bfloat16
     sky_luminance: tuple = (3000.0, 4500.0, 9000.0)  # constant-sky fallback
+    steps_per_dispatch: int = 8  # lax.scan step batching in the headless loop
+    raster_backend: str = "auto"  # "auto" | "pallas" | "xla" triangle raster
+    # renderable mesh-model entities (ref: impact_mesh setup + impact_material
+    # setup/physical.rs — per-entity material components on mesh models)
+    max_mesh_entities: int = 16
+    max_mesh_entity_verts: int = 1024  # vertex capacity per mesh entity
+    max_mesh_entity_tris: int = 2048
 
 
 @dataclass
