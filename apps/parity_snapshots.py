@@ -1,0 +1,121 @@
+"""Reference-parity snapshots: render the reference snapshot_tester's 13
+scenes and score them against the reference's OWN committed golden PNGs.
+
+Ref: apps/snapshot_tester/src/testing.rs:20-108 (scenes + per-scene feature
+settings), snapshots/reference/*.png (committed goldens, 768x512),
+config/config.ron (min_score_to_pass 0.95). Unlike apps/snapshot_tester.py
+(self-generated regression goldens), this compares against the reference
+engine's actual output — true cross-engine parity evidence.
+
+    python apps/parity_snapshots.py [--out PARITY.json] [--scene NAME]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import pathlib
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+
+import jax  # noqa: E402
+
+try:  # CPU: deterministic, and the TPU tunnel is single-process
+    jax.config.update("jax_platforms", "cpu")
+except RuntimeError:
+    pass
+
+import numpy as np  # noqa: E402
+
+REF_DIR = pathlib.Path("/root/reference/apps/snapshot_tester/snapshots/reference")
+REF_CONFIG = "/root/reference/apps/snapshot_tester/config/engine_config.ron"
+OUT_DIR = pathlib.Path(__file__).parent / "snapshots" / "parity"
+MIN_SCORE = 0.95  # ref: config.ron min_score_to_pass
+
+
+def build_runtime(name: str):
+    from impact_tpu.models.parity_scenes import PARITY_SCENES
+    from impact_tpu.runtime import HeadlessRuntime, compile_scene
+    from impact_tpu.utils.config import EngineConfig
+
+    builder, feats = PARITY_SCENES[name]
+    cfg = EngineConfig.from_ron_file(REF_CONFIG)
+    cfg.tpu.render_width = 768
+    cfg.tpu.render_height = 512
+    cfg.tpu.max_voxel_objects = 1
+    cfg.tpu.max_bodies = 8
+    cfg.tpu.voxel_grid_size = 16
+    cfg.tpu.max_mesh_entities = 16
+    cfg.tpu.max_render_triangles = 16384
+    # per-scene feature switches (ref: testing.rs prepare_settings)
+    if feats.get("shadows"):
+        cfg.rendering.shadow_mapping.enabled = True
+    if feats.get("ao"):
+        cfg.rendering.ambient_occlusion.enabled = True
+    if feats.get("bloom"):
+        cfg.rendering.capturing_camera.bloom.enabled = True
+    if "tone" in feats:
+        cfg.rendering.capturing_camera.dynamic_range_compression.tone_mapping_method = feats["tone"]
+    cfg.tpu.sky_luminance = (0.0, 0.0, 0.0)  # no skybox in these scenes
+    cfg.tpu.csm_cascades = feats.get("csm", 1)
+    cfg.tpu.soft_shadows = bool(feats.get("soft"))
+
+    world = builder()
+    build = compile_scene(world, cfg)
+    return HeadlessRuntime(build, cfg, enable_fracturing=False,
+                           enable_absorption=False, enable_splitting=False)
+
+
+def run(names, update_dir=None):
+    from impact_tpu.utils.image import load_png, rgb_hybrid_compare, save_png
+
+    OUT_DIR.mkdir(parents=True, exist_ok=True)
+    results = {}
+    for name in names:
+        t0 = time.perf_counter()
+        rt = build_runtime(name)
+        img = np.asarray(rt.render())
+        ref = np.asarray(load_png(REF_DIR / f"{name}.png"))[..., :3]
+        score = float(rgb_hybrid_compare(img, ref))
+        results[name] = round(score, 4)
+        save_png(OUT_DIR / f"{name}.png", img)
+        diff = np.abs(img.astype(np.int16) - ref.astype(np.int16))
+        save_png(OUT_DIR / f"{name}.diff.png", diff.astype(np.uint8))
+        print(
+            f"[parity] {name}: {score:.4f} "
+            f"({'PASS' if score >= MIN_SCORE else 'fail'}) "
+            f"{time.perf_counter() - t0:.0f}s",
+            flush=True,
+        )
+    return results
+
+
+def main(argv=None):
+    from impact_tpu.models.parity_scenes import PARITY_SCENES
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--scene", action="append", default=None)
+    args = ap.parse_args(argv)
+    names = args.scene or list(PARITY_SCENES)
+    results = run(names)
+    summary = {
+        "scenes": results,
+        "n_pass": sum(1 for s in results.values() if s >= MIN_SCORE),
+        "n_total": len(results),
+        "min_score_to_pass": MIN_SCORE,
+        "goldens": str(REF_DIR),
+    }
+    out = args.out or "PARITY.json"
+    with open(out, "w") as f:
+        json.dump(summary, f, indent=1)
+    print(json.dumps(summary))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -59,10 +59,17 @@ class RenderConfig(NamedTuple):
     taa_variance_clipping_threshold: float = 1.0
     bloom_enabled: bool = True
     bloom_n_downsamplings: int = 4
+    bloom_blur_filter_radius: float = 0.005
     bloom_blurred_luminance_weight: float = 0.04
     exposure_ev_compensation: float = 0.0
     exposure_lower: float = 1e-6
     exposure_upper: float = 1e-2
+    # manual sensitivity (ref: capturing.rs SensorSensitivity::Manual) — when
+    # set, exposure is fixed from aperture/shutter/ISO instead of average
+    # luminance
+    exposure_iso: float | None = None
+    relative_aperture: float = 4.0
+    shutter_duration: float = 0.005
     luminance_lower: float = 100.0
     luminance_upper: float = 1e7
     exposure_current_frame_weight: float = 0.02
@@ -320,7 +327,7 @@ def deferred_shade(
         vpos_h = jnp.einsum("ij,hwj->hwi", vm, hp_cur)[..., :3]
         vnorm = jnp.einsum("ij,hwj->hwi", vm[:3, :3], gb.normal)
         occlusion = post.ambient_occlusion(
-            vpos_h, vnorm, gb.valid,
+            vpos_h, vnorm, gb.valid, cam.vertical_fov,
             sample_count=config.ao_sample_count,
             sample_radius=config.ao_sample_radius,
             intensity=config.ao_intensity,
@@ -376,7 +383,8 @@ def postprocess(
     if config.bloom_enabled:
         lum_out = post.bloom(
             lum_out, config.bloom_n_downsamplings,
-            config.bloom_blurred_luminance_weight,
+            blur_filter_radius=config.bloom_blur_filter_radius,
+            blurred_luminance_weight=config.bloom_blurred_luminance_weight,
         )
 
     frame_avg = post.average_luminance(
@@ -388,10 +396,16 @@ def postprocess(
         frame_avg,
         (1.0 - wgt) * state.avg_luminance + wgt * frame_avg,
     )
-    exposure = post.exposure_from_average_luminance(
-        avg, config.exposure_ev_compensation,
-        config.exposure_lower, config.exposure_upper,
-    )
+    if config.exposure_iso is not None:
+        exposure = post.manual_exposure(
+            config.relative_aperture, config.shutter_duration,
+            config.exposure_iso, config.exposure_lower, config.exposure_upper,
+        )
+    else:
+        exposure = post.exposure_from_average_luminance(
+            avg, config.exposure_ev_compensation,
+            config.exposure_lower, config.exposure_upper,
+        )
     ldr = post.tonemap(lum_out * exposure, config.tone_mapping)
     img = post.to_u8(post.to_srgb(ldr))
 

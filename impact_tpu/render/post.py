@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..geometry.projection import view_z_from_depth
 from ..math.random import splitmix64_sequence
@@ -23,7 +24,7 @@ from ..math.random import splitmix64_sequence
 # --- ambient occlusion (ref: ambient_occlusion.rs + shaders) --------------------
 
 
-def _ao_sample_offsets(sample_count: int, radius: float):
+def _ao_sample_offsets_unused(sample_count: int, radius: float):
     """Deterministic hemisphere sample kernel (host-side, splitmix-seeded —
     the reference generates its sample kernel on the CPU too)."""
     import numpy as np
@@ -41,61 +42,80 @@ def _ao_sample_offsets(sample_count: int, radius: float):
 
 
 def ambient_occlusion(
-    view_pos,  # f32[H,W,3] view-space positions
+    view_pos,  # f32[H,W,3] view-space positions (-z in front of the camera)
     view_normal,  # f32[H,W,3] view-space normals
     valid,  # bool[H,W]
+    vertical_fov,  # camera vertical field of view (radians)
     sample_count: int = 4,
     sample_radius: float = 1.0,
     intensity: float = 2.0,
     contrast: float = 0.75,
+    frame_counter: int = 0,
 ):
-    """SSAO against the view-space depth field (ref config:
-    rendering.ambient_occlusion sample_count/sample_radius/intensity/contrast).
-    Returns occlusion factor [H,W] in (0,1], 1 = unoccluded."""
+    """Alchemy screen-space ambient obscurance (McGuire et al. 2011), matching
+    the reference exactly (ambient_occlusion_computation.template.wgsl:85-140 +
+    ambient_occlusion.rs:229-254): horizontal Halton disc offsets rotated by
+    interleaved-gradient-noise angles, projected with the camera projection;
+    occlusion = (1 - (2·intensity/(π·N))·Σ max(0, d·n + bias)/|d|²)^contrast.
+    Returns occlusion factor [H,W] in [0,1], 1 = unoccluded."""
     h, w = valid.shape
-    offsets = _ao_sample_offsets(sample_count, sample_radius)
 
-    # build a tangent frame per pixel
-    n = view_normal
-    up = jnp.where(
-        jnp.abs(n[..., 2:3]) < 0.9,
-        jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), n.shape),
-        jnp.broadcast_to(jnp.array([1.0, 0.0, 0.0]), n.shape),
+    # Halton(2)/Halton(3) uniform disc samples (ambient_occlusion.rs:236-252)
+    def _halton(base, n):
+        out = np.zeros(n)
+        for i in range(n):
+            f, r, idx = 1.0, 0.0, i + 1
+            while idx > 0:
+                f /= base
+                r += f * (idx % base)
+                idx //= base
+            out[i] = r
+        return out
+
+    rad = sample_radius * np.sqrt(_halton(2, sample_count))
+    ang = 2.0 * np.pi * _halton(3, sample_count)
+    offs = np.stack([rad * np.cos(ang), rad * np.sin(ang)], axis=-1)
+    offs = jnp.asarray(offs, jnp.float32)  # [N,2]
+
+    # per-pixel random rotation (interleaved gradient noise, the reference's
+    # generateRandomAngle with frameCounter time offset)
+    xs = jnp.arange(w, dtype=jnp.float32)[None, :] + 0.5 + float(frame_counter % 8)
+    ys = jnp.arange(h, dtype=jnp.float32)[:, None] + 0.5
+    noise = jnp.mod(
+        52.9829189 * jnp.mod(0.06711056 * xs + 0.00583715 * ys, 1.0), 1.0
     )
-    t = jnp.cross(up, n)
-    t = t / jnp.maximum(jnp.linalg.norm(t, axis=-1, keepdims=True), 1e-9)
-    b = jnp.cross(n, t)
+    theta = 2.0 * jnp.pi * noise
+    c, sn = jnp.cos(theta), jnp.sin(theta)
 
-    occ = jnp.zeros((h, w), jnp.float32)
-    z_buffer = view_pos[..., 2]  # negative in front of camera
-    for s in range(sample_count):
-        o = offsets[s]
-        sample = view_pos + t * o[0] + b * o[1] + n * o[2]
-        # project sample to pixel coordinates: assume same projection as the
-        # buffer; approximate by nearest pixel of the sample's screen position.
-        # screen x = (x/-z)*fx + cx — we reconstruct fx from the buffer extents
-        # by local differencing: use the view_pos grid itself as the mapping.
-        # Simpler robust approach: compare against depth at the *current*
-        # pixel's neighborhood by scaled offsets in pixels.
-        px_scale = 0.5 * h / jnp.maximum(-view_pos[..., 2], 1e-3)
-        du = o[0] * px_scale
-        dv = -o[1] * px_scale
-        ui = jnp.clip(
-            (jnp.arange(w)[None, :] + du).astype(jnp.int32), 0, w - 1
-        )
-        vi = jnp.clip(
-            (jnp.arange(h)[:, None] + dv).astype(jnp.int32), 0, h - 1
-        )
-        neighbor_z = z_buffer[vi, ui]
-        sample_z = sample[..., 2]
-        # occluded if the depth buffer is in front of the sample point
-        range_check = jnp.abs(neighbor_z - z_buffer) < sample_radius
-        occ = occ + ((neighbor_z > sample_z + 0.02) & range_check)
+    fpx = (0.5 * h) / jnp.tan(0.5 * vertical_fov)  # focal length in pixels
+    z = view_pos[..., 2]
+    inv_neg_z = 1.0 / jnp.maximum(-z, 1e-6)
+    # occluder positions looked up per sample; invalid pixels recede to -inf
+    far = jnp.array([0.0, 0.0, -1e8], jnp.float32)
+    occluder_buf = jnp.where(valid[..., None], view_pos, far)
 
-    occ = occ / sample_count
-    ao = jnp.clip(1.0 - intensity * occ, 0.0, 1.0) ** contrast
+    bias = 1e-4 * z  # biasDistance (z is negative)
+    total = jnp.zeros((h, w), jnp.float32)
+    for si in range(sample_count):
+        ox = offs[si, 0] * c - offs[si, 1] * sn
+        oy = offs[si, 0] * sn + offs[si, 1] * c
+        sx = view_pos[..., 0] + ox
+        sy = view_pos[..., 1] + oy
+        # project (sx, sy, z) with the camera projection to pixel coords
+        u = 0.5 * w + sx * fpx * inv_neg_z
+        v = 0.5 * h - sy * fpx * inv_neg_z
+        ui = jnp.clip(u.astype(jnp.int32), 0, w - 1)
+        vi = jnp.clip(v.astype(jnp.int32), 0, h - 1)
+        occluder = occluder_buf[vi, ui]  # [H,W,3]
+        d = occluder - view_pos
+        d_n = jnp.sum(d * view_normal, axis=-1)
+        d2 = jnp.sum(d * d, axis=-1)
+        total = total + jnp.maximum(0.0, d_n + bias) / (d2 + 1e-4)
+
+    norm = 2.0 * intensity / (np.pi * sample_count)
+    ao = jnp.maximum(0.0, 1.0 - norm * total) ** contrast
     ao = jnp.where(valid, ao, 1.0)
-    # 3×3 box blur (ref: AO blur pass)
+    # 3x3 box blur (ref: AO blur pass)
     k = jnp.ones((3, 3), jnp.float32) / 9.0
     ao = jax.scipy.signal.convolve2d(ao, k, mode="same")
     return ao
@@ -138,7 +158,7 @@ def temporal_anti_aliasing(
 # --- bloom (ref: bloom.rs N-level downsample/upsample-blur chain) ---------------
 
 
-def _downsample2(img):
+def _avg2x2(img):
     h, w, c = img.shape
     if h % 2 or w % 2:  # pad odd dims (edge) so halving always works
         img = jnp.pad(img, ((0, h % 2), (0, w % 2), (0, 0)), mode="edge")
@@ -146,38 +166,101 @@ def _downsample2(img):
     return img.reshape(h // 2, 2, w // 2, 2, c).mean(axis=(1, 3))
 
 
-def _upsample2(img):
-    return jnp.repeat(jnp.repeat(img, 2, axis=0), 2, axis=1)
+def _int_shift(img, d, axis):
+    """Shift by integer d pixels along axis (edge clamp)."""
+    if d == 0:
+        return img
+    n = img.shape[axis]
+    pad = [(0, 0)] * img.ndim
+    pad[axis] = (max(d, 0), max(-d, 0))
+    sl = [slice(None)] * img.ndim
+    sl[axis] = slice(max(-d, 0), max(-d, 0) + n)
+    return jnp.pad(img, pad, mode="edge")[tuple(sl)]
 
 
-def _blur3(img):
-    k = jnp.array([0.25, 0.5, 0.25], jnp.float32)
-    img = jnp.pad(img, ((1, 1), (0, 0), (0, 0)), mode="edge")
-    img = (
-        img[:-2] * k[0] + img[1:-1] * k[1] + img[2:] * k[2]
+def _frac_shift(img, d, axis):
+    """Shift by float d pixels along axis (bilinear between integer shifts)."""
+    lo = int(np.floor(d))
+    f = d - lo
+    a = _int_shift(img, lo, axis)
+    if f == 0.0:
+        return a
+    return a * (1.0 - f) + _int_shift(img, lo + 1, axis) * f
+
+
+def _downsample13(img):
+    """The reference's 13-tap downsampling filter
+    (bloom_downsampling.template.wgsl): output texel centers land between
+    input texels, so each bilinear tap is a 2x2 input average at an integer
+    shift; groups weighted 0.125*(e+j+k+l+m)+0.0625*(b+d+f+h)+0.03125*corners.
+    """
+    def A(dx, dy):
+        return _avg2x2(_int_shift(_int_shift(img, -dx, 1), -dy, 0))
+
+    return (
+        0.125 * (A(0, 0) + A(-1, -1) + A(1, -1) + A(-1, 1) + A(1, 1))
+        + 0.0625 * (A(0, -2) + A(-2, 0) + A(2, 0) + A(0, 2))
+        + 0.03125 * (A(-2, -2) + A(2, -2) + A(-2, 2) + A(2, 2))
     )
-    img = jnp.pad(img, ((0, 0), (1, 1), (0, 0)), mode="edge")
-    return img[:, :-2] * k[0] + img[:, 1:-1] * k[1] + img[:, 2:] * k[2]
 
 
-def bloom(luminance, n_downsamplings: int = 4, blurred_luminance_weight: float = 0.04):
-    """Physically-meaningless-but-pretty bloom: progressive downsample, then
-    blurred upsample accumulation, blended with the source
-    (ref: bloom.rs:594 downsample/upsample-blur chain + blending)."""
+def _tent_blur(img, r):
+    """Separable 3x3 tent filter at (fractional) pixel radius r
+    (bloom_upsampling_blur.template.wgsl's 9-tap tent at uv radius R)."""
+    def blur_axis(x, axis):
+        return 0.5 * x + 0.25 * (
+            _frac_shift(x, r, axis) + _frac_shift(x, -r, axis)
+        )
+
+    return blur_axis(blur_axis(img, 0), 1)
+
+
+def _bilinear_up2(img):
+    """2x bilinear upsample with wgpu half-pixel sample alignment: output
+    texel 2i samples input at i-0.25, texel 2i+1 at i+0.25 (edge clamp)."""
+    h, w, c = img.shape
+    p = jnp.pad(img, ((1, 1), (0, 0), (0, 0)), mode="edge")
+    rows = jnp.stack(
+        [0.75 * p[1 : h + 1] + 0.25 * p[0:h],
+         0.75 * p[1 : h + 1] + 0.25 * p[2 : h + 2]],
+        axis=1,
+    ).reshape(2 * h, w, c)
+    p = jnp.pad(rows, ((0, 0), (1, 1), (0, 0)), mode="edge")
+    return jnp.stack(
+        [0.75 * p[:, 1 : w + 1] + 0.25 * p[:, 0:w],
+         0.75 * p[:, 1 : w + 1] + 0.25 * p[:, 2 : w + 2]],
+        axis=2,
+    ).reshape(2 * h, 2 * w, c)
+
+
+def bloom(
+    luminance,
+    n_downsamplings: int = 4,
+    blur_filter_radius: float = 0.005,
+    blurred_luminance_weight: float = 0.04,
+):
+    """The reference's bloom chain (bloom.rs:108-140 + shader templates):
+    13-tap progressive downsample to mip N, then tent-blurred bilinear
+    upsamples ADDED into each downsampled mip back up to mip 1; the final
+    blend samples the mip-1 accumulation bilinearly at full res with
+    normalization 1/N and the configured blurred weight.
+
+    ``blur_filter_radius`` is in uv units of each upsample's INPUT mip
+    (the shader's R in texture coordinates)."""
     levels = [luminance]
     img = luminance
     for _ in range(n_downsamplings):
-        img = _downsample2(img)
+        img = _downsample13(img)
         levels.append(img)
-    # upsample back, blurring and accumulating (crop to each level's true size)
-    acc = levels[-1]
-    for i in range(n_downsamplings - 1, -1, -1):
+    acc = levels[n_downsamplings]
+    for i in range(n_downsamplings - 1, 0, -1):  # stop at mip 1 (bloom.rs:110)
         th, tw, _ = levels[i].shape
-        acc = _blur3(_upsample2(acc)[:th, :tw]) + levels[i]
-    acc = acc / (n_downsamplings + 1)
-    return (
-        1.0 - blurred_luminance_weight
-    ) * luminance + blurred_luminance_weight * acc
+        r_px = blur_filter_radius * acc.shape[1]
+        acc = _bilinear_up2(_tent_blur(acc, r_px))[:th, :tw] + levels[i]
+    th, tw, _ = luminance.shape
+    blurred = _bilinear_up2(acc)[:th, :tw] / n_downsamplings
+    w = blurred_luminance_weight
+    return (1.0 - w) * luminance + w * blurred
 
 
 # --- exposure (ref: capturing.rs + average_luminance.rs) ------------------------
@@ -200,19 +283,31 @@ def average_luminance(luminance_rgb, lower=100.0, upper=1e7):
 
 
 def exposure_from_average_luminance(avg_lum, ev_compensation=0.0, lower=1e-6, upper=1e-2):
-    """Saturation-based auto exposure: E = 0.18·2^EV / avg_lum, clamped to the
-    configured exposure bounds (ref: capturing.rs SensitivityAuto +
-    exposure_bounds)."""
-    exposure = 0.18 * jnp.exp2(ev_compensation) / jnp.maximum(avg_lum, 1e-9)
-    return jnp.clip(exposure, lower, upper)
+    """Saturation Based Sensitivity auto exposure (ref: capturing.rs:142-168):
+    EV100 = log2(100·avg/K), max_lum = (78/(100·q))·2^(EV100 − comp),
+    exposure = 1/max_lum, clamped to the configured bounds; K = 12.5,
+    q = 0.65 (capturing.rs:108-111)."""
+    max_lum = (78.0 / 65.0) * (100.0 / 12.5) * jnp.maximum(avg_lum, 1e-9)         * jnp.exp2(-ev_compensation)
+    return jnp.clip(1.0 / max_lum, lower, upper)
+
+
+def manual_exposure(relative_aperture=4.0, shutter_duration=0.005, iso=100.0,
+                    lower=1e-6, upper=1e-2):
+    """Manual-ISO exposure (ref: capturing.rs Manual{iso} path):
+    EV100 = log2(N²·100/(t·ISO)), exposure = 1/((78/(100·0.65))·2^EV100)
+    = t·ISO/(120·N²)."""
+    e = shutter_duration * iso / (120.0 * relative_aperture ** 2)
+    return float(np.clip(e, lower, upper))
 
 
 # --- tone mapping (ref: dynamic_range_compression.rs None/ACES/KhronosPBRNeutral)
 
 
 def tonemap_aces(x):
-    """ACES filmic fit (Narkowicz)."""
+    """ACES filmic fit (Narkowicz) with the reference's 0.6 pre-exposure
+    (ref: dynamic_range_compression.template.wgsl:22-31 `color *= 0.6`)."""
     a, b, c, d, e = 2.51, 0.03, 2.43, 0.59, 0.14
+    x = x * 0.6
     return jnp.clip((x * (a * x + b)) / (x * (c * x + d) + e), 0.0, 1.0)
 
 
@@ -221,7 +316,11 @@ def tonemap_khronos_pbr_neutral(color):
     start_compression = 0.8 - 0.04
     desaturation = 0.15
     x = jnp.min(color, axis=-1, keepdims=True)
-    offset = jnp.where(x < 0.08, x - 6.25 * x * x, 0.04)
+    # NOTE: the reference's WGSL `select(x - 6.25x², 0.04, x < 0.08)` takes
+    # 0.04 when x < 0.08 — inverted from the published Khronos operator — and
+    # parity means matching the reference's actual output
+    # (dynamic_range_compression.template.wgsl:34-41)
+    offset = jnp.where(x < 0.08, 0.04, x - 6.25 * x * x)
     color = color - offset
     peak = jnp.max(color, axis=-1, keepdims=True)
     new_peak = 1.0 - (1.0 - start_compression) ** 2 / jnp.maximum(

@@ -817,7 +817,9 @@ def _compile_scene_impl(
         ambient += np.asarray(
             world.get_component(eid, C.AmbientEmission).illuminance
         )
-    lights = lights._replace(ambient_luminance=jnp.asarray(ambient))
+    # uniform ambient luminance = illuminance / pi (ref: impact_light
+    # lib.rs:1676 compute_luminance_for_uniform_illuminance)
+    lights = lights._replace(ambient_luminance=jnp.asarray(ambient / np.pi))
     for comp, shadowable in ((C.OmnidirectionalEmission, False),
                              (C.ShadowableOmnidirectionalEmission, True)):
         for eid in world.entities_with(comp):
@@ -1020,13 +1022,23 @@ def render_config_from_engine_config(config: EngineConfig):
 
     r = config.rendering
     tone = r.capturing_camera.dynamic_range_compression.tone_mapping_method
-    tone = getattr(tone, "name", tone) or "ACES"
+    # RON `None` parses to Python None = the explicit ToneMappingMethod::None
+    # variant (dynamic_range_compression.rs:37-41); absence keeps the "ACES"
+    # dataclass default
+    tone = "None" if tone is None else getattr(tone, "name", tone)
     cam = r.capturing_camera.settings
     ev = 0.0
+    iso = None
     sens = cam.sensitivity
     if sens is not None and getattr(sens, "fields", None):
         ev = sens.fields.get("ev_compensation", 0.0)
+        # Manual { iso } (ref: capturing.rs SensorSensitivity) fixes exposure
+        if getattr(sens, "name", "") == "Manual" or "iso" in sens.fields:
+            iso = sens.fields.get("iso")
     return RenderConfig(
+        exposure_iso=iso,
+        relative_aperture=cam.relative_aperture,
+        shutter_duration=cam.shutter_duration,
         width=config.tpu.render_width,
         height=config.tpu.render_height,
         shadow_map_resolution=r.shadow_mapping.omnidirectional_light_shadow_map_resolution,

@@ -108,12 +108,21 @@ class TestPost:
         assert float(out[16, 16, 0]) < 1000.0
 
     def test_exposure_auto(self):
+        # Saturation Based Sensitivity (capturing.rs:108-168): with K=12.5 and
+        # q=0.65, max_lum = (78/(100q))*(100/K)*avg = 9.6*avg
         avg = jnp.asarray(5000.0)
         e = post.exposure_from_average_luminance(avg)
-        np.testing.assert_allclose(float(e) * 5000.0, 0.18, rtol=1e-3)
+        np.testing.assert_allclose(float(e) * 5000.0, 1.0 / 9.6, rtol=1e-3)
         # clamped by bounds
         e2 = post.exposure_from_average_luminance(jnp.asarray(1e-12))
         assert float(e2) == pytest.approx(1e-2)
+
+    def test_exposure_manual(self):
+        # Manual{iso}: exposure = t*ISO/(120*N^2) (capturing.rs Manual path)
+        e = post.manual_exposure(
+            relative_aperture=4.0, shutter_duration=0.005, iso=100.0
+        )
+        assert e == pytest.approx(0.005 * 100.0 / (120.0 * 16.0))
 
     def test_taa_converges_to_static_scene(self):
         key = jax.random.PRNGKey(0)
