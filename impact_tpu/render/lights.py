@@ -114,9 +114,13 @@ def render_omni_shadow_cubemap(
         tri_clip = clip[tri_indices]  # [T,3,4]
         # smaller big-pass budget + tile chunks: depth-only targets under a
         # 6-face vmap (memory per loop iteration is multiplied by the batch)
+        # 90° face frusta close to geometry stretch triangle screen bboxes
+        # enormously — a big_budget of 16 silently dropped ground planes and
+        # nearby occluders from the face maps (missing shadows); 256 holds a
+        # fully-subdivided ground rect plus every near occluder
         target, _, _ = rasterlib.rasterize(
             tri_clip, tri_active, resolution, resolution, cull_backfaces=False,
-            k_per_tile=256, big_budget=16, tiles_per_chunk=32,
+            k_per_tile=256, big_budget=256, tiles_per_chunk=32,
         )
         return target.depth, vp
 
@@ -148,7 +152,7 @@ def render_uni_shadow_map(
     tri_clip = clip[tri_indices]
     target, _, _ = rasterlib.rasterize(
         tri_clip, tri_active, resolution, resolution, cull_backfaces=False,
-        k_per_tile=256, big_budget=16, tiles_per_chunk=64,
+        k_per_tile=256, big_budget=64, tiles_per_chunk=64,
     )
     return target.depth, vp
 
@@ -360,13 +364,16 @@ def shade(
     for li in range(n_omni):
         lvec = lights.omni_position[li] - world_pos
         dist2 = jnp.sum(lvec * lvec, axis=-1)
-        ldir = (lvec / jnp.maximum(jnp.sqrt(dist2), 1e-9)[..., None]).astype(
-            normal.dtype
-        )
+        inv_dist = 1.0 / jnp.maximum(jnp.sqrt(dist2), 1e-9)
+        ldir = (lvec * inv_dist[..., None]).astype(normal.dtype)
         illum = (
             lights.omni_intensity[li] / jnp.maximum(dist2, 1e-6)[..., None]
         ).astype(normal.dtype)
-        b = evaluate_brdf(normal, view_dir, ldir, albedo, f0, roughness)
+        # spherical-area-light emulation (always on in the reference's omni
+        # shader): angular radius = emissive radius / distance
+        tan_r = (0.5 * lights.omni_extent[li] * inv_dist).astype(normal.dtype)
+        b = evaluate_brdf(normal, view_dir, ldir, albedo, f0, roughness,
+                          tan_angular_radius=tan_r)
         contrib = b * illum
         if omni_shadows is not None:
             depths, vps = omni_shadows
@@ -387,7 +394,13 @@ def shade(
     n_uni = lights.uni_mask.shape[0]
     for li in range(n_uni):
         ldir = (-lights.uni_direction[li]).astype(normal.dtype)
-        b = evaluate_brdf(normal, view_dir, ldir, albedo, f0, roughness)
+        # area emulation: tan of half the angular source extent
+        # (lib.rs:1375 tan_angular_radius_from_angular_extent)
+        tan_r = jnp.tan(
+            0.5 * lights.uni_extent[li] * (jnp.pi / 180.0)
+        ).astype(normal.dtype)
+        b = evaluate_brdf(normal, view_dir, ldir, albedo, f0, roughness,
+                          tan_angular_radius=tan_r)
         if uni_shadows is not None:
             depths, vps, splits = uni_shadows
             vis = upsample(

@@ -186,7 +186,10 @@ def geometry_pass(
     normal = normal / jnp.maximum(jnp.linalg.norm(normal, axis=-1, keepdims=True), 1e-9)
     albedo = out[..., 9:12]
     f0 = out[..., 12:15]
-    roughness = out[..., 15]
+    # G-buffer stores GGX alpha = perceptual roughness squared, converted
+    # per-fragment after interpolation (ref: model_geometry.template.wgsl:332
+    # computeGGXRoughnessFromPerceptuallyLinearRoughness)
+    roughness = out[..., 15] * out[..., 15]
     emissive = out[..., 16:19]
 
     # material index from the max-weight corner (ints don't interpolate)

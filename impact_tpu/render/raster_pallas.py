@@ -5,29 +5,35 @@ reference rasterizes on GPU hardware (impact_rendering geometry/shadow passes,
 render_command.rs:222-432); the TPU-native design is a screen-tile kernel:
 
   prologue (XLA):  near-clip -> screen-plane coefficients per triangle ->
-                   bin each triangle to its CENTER 16x16 tile -> ONE sort by
-                   (tile, depth) -> per-tile row ranges (searchsorted)
-  kernel (Pallas): per tile, DMA the candidate payload rows of the 3x3
-                   center-tile neighborhood (3 contiguous row ranges, one per
-                   tile row) into VMEM, evaluate barycentric/depth planes for
-                   8 candidates x all tile pixels on the VPU with a running
-                   (z, index) min, then select the winner's payload per pixel
-                   with one-hot MXU matmuls and interpolate attributes.
+                   bin each triangle to the TOP-LEFT tile of its bbox -> ONE
+                   narrow sort by (tile, depth) -> per-tile row ranges
+  kernel (Pallas): per 16x16 tile, DMA the candidate payloads of the 2x2
+                   tile neighborhood (two contiguous, 128-aligned column
+                   ranges of a LANE-MAJOR [rows, P] payload), evaluate
+                   barycentric/depth planes for 128 candidates per VPU op
+                   with a running (z, payload-index) min, then select the
+                   winner's payload per pixel with one-hot MXU matmuls and
+                   interpolate attributes in-register.
 
-Why this shape (measured on the v5e, devtools/ benches):
-  - lax.sort is cheap when narrow: 2-op 512k ~ 0.7 ms, 17-op ~ 3 ms. The
-    depth path carries its whole 12-float payload THROUGH the sort (no
-    gather); the attribute path sorts (key, id) and pays one row gather.
-  - XLA row gathers cost ~3-15 ns/row; all per-candidate accesses in the
-    kernel are contiguous-range DMAs instead.
-  - Payload rows are 128 floats wide: Mosaic requires DMA slices whose
-    trailing dim is 128-aligned.
-  - Per-pixel attribute fetch is a [S^2, K] x [K, P] matmul on the MXU (a
-    take_along_axis would lower to per-element gathers, ~10x slower).
+Measured design rules (v5e, devtools/ benches):
+  - lax.sort is cheap when narrow (2-op 512k ~ 0.7 ms, 17-op ~ 3 ms); XLA row
+    gathers cost ~10 ns/row. The depth path carries its whole 12-row payload
+    THROUGH the sort and stacks it directly into the lane-major layout (no
+    gather at all); the attribute path sorts (key, id) and pays one row
+    gather + transpose.
+  - Candidates live on LANES: one [S^2, 128] VPU op evaluates a whole
+    candidate block against every pixel — per-candidate column extraction
+    (the v1 sublane layout) was ~20x slower than the arithmetic.
+  - Mosaic cannot DMA at dynamic LANE offsets (memref_slice fails to lower):
+    the payload is blocked to [P/128, R, 128] and ranges are floored to
+    128-lane block boundaries, so the dynamic slice lands on the LEADING dim
+    (the supported pattern); slack lanes are masked in-kernel.
+  - Per-pixel attribute fetch is a one-hot [S^2,128] x [rows,128]^T MXU
+    matmul per candidate block (take_along_axis lowers to scalar gathers).
 
-Triangles spanning more than the 3x3 neighborhood (ground planes) and the
-rare second output of a near-plane quad split go to a small "big" candidate
-list broadcast to every tile.
+Triangles spanning more than 2x2 tiles (ground planes) and the rare second
+output of a near-plane quad split go to a 128-lane "big" candidate block
+evaluated by every tile.
 """
 
 from __future__ import annotations
@@ -42,24 +48,21 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .raster import _edge, _screen_coords, clip_triangles_near
 
-# payload columns (f32[P, 128]):
+# payload rows (lane-major f32[R, P]):
 #   0:3   Ab0, Bb0, Cb0   barycentric-0 screen plane (b0 = A*px + B*py + C)
 #   3:6   Ab1, Bb1, Cb1   barycentric-1 screen plane
 #   6:9   ZA, ZB, ZC      NDC-depth screen plane    (z = A*px + B*py + C)
 #   9:12  iw0, iw1, iw2   1/clip_w per corner (perspective correction)
-#   12:16 pad
-#   16:16+3*A   per-corner attributes (attr kernel only)
-PW = 128
-GEOM_COLS = 16
+#   12:12+3A  per-corner attributes (attribute kernel only)
+GEOM_ROWS = 12
 _INF = np.float32(3.0e38)
 _ZKEY_BITS = 14
 _ZKEY_SCALE = float((1 << _ZKEY_BITS) - 2)
+_LANES = 128
 
 
 def _plane_coefficients(clip2, act2, height, width, cull_backfaces):
-    """Vectorized per-clipped-triangle screen setup.
-
-    Returns (geom [T2,12], act, bbox tuple, near_z)."""
+    """Vectorized per-clipped-triangle screen setup."""
     sx, sy, z, valid = _screen_coords(clip2, height, width)  # [T2,3]
     act = act2 & jnp.all(valid, axis=-1)
     area = _edge(sx[:, 0], sy[:, 0], sx[:, 1], sy[:, 1], sx[:, 2], sy[:, 2])
@@ -78,11 +81,9 @@ def _plane_coefficients(clip2, act2, height, width, cull_backfaces):
     ax, ay = sx[:, 0], sy[:, 0]
     bx, by = sx[:, 1], sy[:, 1]
     cx, cy = sx[:, 2], sy[:, 2]
-    # b0 = edge(b, c, p) / area: an affine plane over screen space
     a0 = -(cy - by) * ia
     b0 = (cx - bx) * ia
     c0 = (-by * (cx - bx) + bx * (cy - by)) * ia
-    # b1 = edge(c, a, p) / area
     a1 = -(ay - cy) * ia
     b1 = (ax - cx) * ia
     c1 = (-cy * (ax - cx) + cx * (ay - cy)) * ia
@@ -106,12 +107,13 @@ def _bin(
     clip2, act2, height, width, tile, k_per_range, big_budget,
     cull_backfaces, attr_corners, n_first,
 ):
-    """Shared binning prologue.
+    """Binning prologue.
 
-    ``n_first``: only the first n_first slots (original triangles) are
-    center-binned; later slots (near-plane quad seconds) route to the big
-    list. Returns (starts3, counts3, payload [P_pad,128], big [NBpad,128],
-    big_mask, n_dropped, th, tw).
+    Bins the first ``n_first`` slots to the TOP-LEFT tile of their screen
+    bbox (triangles fitting in 2x2 tiles); later slots (near-plane quad
+    seconds) and larger triangles go to the 128-lane big block. Returns
+    (ranges i32[n_tiles,8], payload_T f32[R, P_pad], big_T f32[R, 128],
+    big_mask f32[1,128], n_dropped, th, tw).
     """
     t2 = clip2.shape[0]
     th = -(-height // tile)
@@ -131,234 +133,221 @@ def _bin(
     small = act & fits & first
     big = act & ~small
 
-    ctx = (tx0 + tx1) // 2
-    cty = (ty0 + ty1) // 2
-    ctile = jnp.where(small, cty * tw + ctx, n_tiles)
+    btile = jnp.where(small, ty0 * tw + tx0, n_tiles)
     zq = jnp.clip(near_z, 0.0, 1.0)
     zq = jnp.where(small, (zq * _ZKEY_SCALE).astype(jnp.int32),
                    (1 << _ZKEY_BITS) - 1)
-    key = ctile * (1 << _ZKEY_BITS) + zq
+    key = (btile * (1 << _ZKEY_BITS) + zq)[:n_first]
 
     na = attr_corners.shape[1] if attr_corners is not None else 0
-    assert GEOM_COLS + na <= PW, "attribute payload exceeds 128-col rows"
+    rows_total = GEOM_ROWS + na
+    rows_pad = -(-rows_total // 8) * 8  # Mosaic: slice dims multiple of 8
+    # pad so the last range's DMA window (1 + ceil(k/128) blocks from its
+    # floored start) stays in bounds
+    k_eff = (1 + -(-k_per_range // _LANES)) * _LANES
+    p_pad = -(-(n_first + k_eff) // _LANES) * _LANES
 
     if attr_corners is None:
-        # depth path: carry the 12 payload columns through the sort
-        key = key[:n_first]
+        # depth path: carry the 12 geometry rows through the sort and stack
+        # them straight into the lane-major layout — zero gathers
         sorted_ops = jax.lax.sort(
             (key, *[g[:n_first] for g in geom]), num_keys=1
         )
         key_s = sorted_ops[0]
-        p_pad = n_first + k_per_range
-        payload = jnp.zeros((p_pad, PW), jnp.float32)
-        cols = jnp.stack(sorted_ops[1:], axis=-1)  # [n_first, 12]
-        payload = payload.at[:n_first, :12].set(cols)
-        payload = payload.at[n_first:, 2].set(-1.0)
+        payload = jnp.stack(sorted_ops[1:], axis=0)  # [12, n_first]
+        payload = jnp.pad(
+            payload, ((0, rows_pad - GEOM_ROWS), (0, p_pad - n_first))
+        )
+        payload = payload.at[2, n_first:].set(-1.0)
     else:
-        key = key[:n_first]
         key_s, order = jax.lax.sort(
             (key, jnp.arange(n_first, dtype=jnp.int32)), num_keys=1
         )
         full = jnp.concatenate(
-            [jnp.stack(geom, axis=-1), jnp.zeros((t2, 4), jnp.float32),
-             attr_corners],
-            axis=-1,
-        )  # [T2, 16+3A]
-        full = jnp.pad(full, ((0, 0), (0, PW - GEOM_COLS - na)))
-        payload = full[order]  # ONE row gather in sorted order
-        payload = jnp.pad(payload, ((0, k_per_range), (0, 0)))
-        payload = payload.at[n_first:, 2].set(-1.0)
+            [jnp.stack(geom, axis=-1), attr_corners], axis=-1
+        )  # [T2, R]
+        payload = full[order].T  # ONE row gather + transpose
+        payload = jnp.pad(
+            payload, ((0, rows_pad - rows_total), (0, p_pad - n_first))
+        )
+        payload = payload.at[2, n_first:].set(-1.0)
 
     tile_s = key_s // (1 << _ZKEY_BITS)
     bounds = jnp.searchsorted(
         tile_s, jnp.arange(n_tiles + 1, dtype=jnp.int32)
     ).astype(jnp.int32)
 
-    # 3 contiguous ranges per tile: candidate rows of tile rows ty-1..ty+1,
-    # columns tx-1..tx+1 (a center-binned triangle spans at most 2x2 tiles,
-    # so every tile it overlaps is within +-1 of its center tile)
+    # 2 ranges per tile: top-left-binned candidates of rows ty-1 and ty,
+    # columns tx-1..tx (a 2x2-fitting triangle overlapping tile t has its
+    # top-left bin within that window)
     tids = jnp.arange(n_tiles, dtype=jnp.int32)
     ttx = tids % tw
     tty = tids // tw
     lo_x = jnp.maximum(ttx - 1, 0)
-    hi_x = jnp.minimum(ttx + 1, tw - 1)
-    rows = tty[:, None] + jnp.array([-1, 0, 1], jnp.int32)[None, :]
-    row_ok = (rows >= 0) & (rows < th)
-    rows_c = jnp.clip(rows, 0, th - 1)
+    rows2 = tty[:, None] + jnp.array([-1, 0], jnp.int32)[None, :]
+    row_ok = rows2 >= 0
+    rows_c = jnp.maximum(rows2, 0)
     r_start = bounds[rows_c * tw + lo_x[:, None]]
-    r_end = bounds[rows_c * tw + hi_x[:, None] + 1]
+    r_end = bounds[rows_c * tw + ttx[:, None] + 1]
     r_len = jnp.where(row_ok, r_end - r_start, 0)
-    counts3 = jnp.minimum(r_len, k_per_range)
-    n_drop = jnp.sum(r_len - counts3)
+    counts2 = jnp.minimum(r_len, k_per_range)
+    n_drop = jnp.sum(r_len - counts2)
 
-    # big list: nearest-first, padded to a multiple of 8
-    nb = int(min(big_budget, t2))
-    nb_pad = max(8, ((nb + 7) // 8) * 8)
+    # big block: 128 lanes, nearest-first
+    nb = int(min(big_budget, _LANES, t2))
     big_key = jnp.where(big, near_z, jnp.inf)
     big_order = jnp.argsort(big_key)[:nb].astype(jnp.int32)
     big_sel = big[big_order]
     if attr_corners is None:
-        big_rows = jnp.stack([g[big_order] for g in geom], axis=-1)
-        big_rows = jnp.pad(big_rows, ((0, 0), (0, PW - 12)))
+        big_rows = jnp.stack([g[big_order] for g in geom], axis=0)  # [12,nb]
     else:
-        big_rows = full[big_order]
-    big_rows = jnp.where(big_sel[:, None], big_rows, 0.0)
-    big_rows = big_rows.at[:, 2].set(jnp.where(big_sel, big_rows[:, 2], -1.0))
-    big_rows = jnp.pad(big_rows, ((0, nb_pad - nb), (0, 0)))
-    big_rows = big_rows.at[nb:, 2].set(-1.0)
-    big_mask = jnp.pad(big_sel.astype(jnp.float32), (0, nb_pad - nb))[:, None]
+        big_rows = full[big_order].T
+    big_rows = jnp.where(big_sel[None, :], big_rows, 0.0)
+    big_rows = big_rows.at[2].set(jnp.where(big_sel, big_rows[2], -1.0))
+    big_rows = jnp.pad(
+        big_rows, ((0, rows_pad - big_rows.shape[0]), (0, _LANES - nb))
+    )
+    big_rows = big_rows.at[2, nb:].set(-1.0)
+    big_mask = jnp.pad(
+        big_sel.astype(jnp.float32), (0, _LANES - nb)
+    )[None, :]
     n_drop = n_drop + jnp.maximum(jnp.sum(big) - nb, 0)
 
     ranges = jnp.concatenate(
         [
             jnp.minimum(r_start, n_first).astype(jnp.int32),
-            counts3.astype(jnp.int32),
-            jnp.zeros((n_tiles, 2), jnp.int32),
+            counts2.astype(jnp.int32),
         ],
         axis=-1,
-    )  # [n_tiles, 8]: starts x3 | counts x3 | pad (ONE SMEM prefetch operand)
-    return ranges, payload, big_rows, big_mask, n_drop.astype(jnp.int32), th, tw
+    ).reshape(-1)  # flat [n_tiles*4]: start0,start1,cnt0,cnt1 per tile (2-D
+    # SMEM operands are lane-padded to 128 ints/row — 1-D stays compact)
+    # block the lane-major payload to [P/128, R, 128] so the kernel's DMA
+    # offset is on the leading dim (Mosaic can't slice at dynamic lane offsets)
+    payload_blk = payload.reshape(
+        rows_pad, p_pad // _LANES, _LANES
+    ).transpose(1, 0, 2)
+    return (ranges, payload_blk, big_rows, big_mask,
+            n_drop.astype(jnp.int32), th, tw)
 
 
-def _eval_planes(g, have, px, py):
-    """Edge/depth plane eval for an 8-candidate block against all pixels.
-
-    g: [8,PW] payload rows; have: [8,1]; px/py: [1,S^2] absolute pixel
-    centers. Returns zm [8,S^2] (depth or +inf where uncovered)."""
-    b0 = g[:, 0:1] * px + g[:, 1:2] * py + g[:, 2:3]
-    b1 = g[:, 3:4] * px + g[:, 4:5] * py + g[:, 5:6]
-    b2 = 1.0 - b0 - b1
-    z = g[:, 6:7] * px + g[:, 7:8] * py + g[:, 8:9]
-    cov = (b0 >= 0) & (b1 >= 0) & (b2 >= 0) & (z >= 0) & (z <= 1) & have
-    return jnp.where(cov, z, _INF)
-
-
-def _depth_kernel(tile: int, k: int, nb: int, tw: int):
+def _make_kernel(tile, n_blocks, tw, rows, n_attr, p_pad):
+    """Kernel factory. ``n_attr`` == 0 -> depth-only."""
     s2 = tile * tile
+    oc = 2 * n_attr + 8 if n_attr else 0
 
     def kernel(ranges_ref, payload, big_rows, big_mask,
                out_ref, data_s, sems):
         i = pl.program_id(0)
         x0 = (jax.lax.rem(i, tw) * tile).astype(jnp.float32)
         y0 = (jax.lax.div(i, tw) * tile).astype(jnp.float32)
-        for r in range(3):
+
+        aligned = []
+        for r in range(2):
+            s = ranges_ref[i * 4 + r]
+            a = s - jax.lax.rem(s, _LANES)
+            aligned.append(a)
             pltpu.make_async_copy(
-                payload.at[pl.ds(ranges_ref[i, r], k)], data_s.at[r],
-                sems.at[r],
+                payload.at[pl.ds(a // _LANES, n_blocks)],
+                data_s.at[r], sems.at[r],
             ).start()
 
-        p = jax.lax.broadcasted_iota(jnp.int32, (1, s2), 1)
-        px = x0 + (p % tile).astype(jnp.float32) + 0.5
-        py = y0 + (p // tile).astype(jnp.float32) + 0.5
-        iota8 = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+        pc = jax.lax.broadcasted_iota(jnp.int32, (s2, 1), 0)
+        px = x0 + (pc % tile).astype(jnp.float32) + 0.5
+        py = y0 + (pc // tile).astype(jnp.float32) + 0.5
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
 
-        best_z = jnp.full((1, s2), _INF, jnp.float32)
-        for r in range(3):
+        def eval_block(geo, gidx, s, cnt, carry):
+            """geo: [R,128] candidate block; gidx [1,128] payload indices."""
+            b0 = geo[0:1, :] * px + geo[1:2, :] * py + geo[2:3, :]
+            b1 = geo[3:4, :] * px + geo[4:5, :] * py + geo[5:6, :]
+            b2 = 1.0 - b0 - b1
+            z = geo[6:7, :] * px + geo[7:8, :] * py + geo[8:9, :]
+            have = (gidx >= s) & (gidx < s + cnt)
+            cov = (b0 >= 0) & (b1 >= 0) & (b2 >= 0) & (z >= 0) & (z <= 1) & have
+            zm = jnp.where(cov, z, _INF)
+            best_z, best_i = carry
+            bz = jnp.min(zm, axis=1, keepdims=True)  # [S^2,1]
+            upd = bz < best_z
+            best_z2 = jnp.where(upd, bz, best_z)
+            if n_attr:
+                bi = jnp.min(
+                    jnp.where(zm <= bz, gidx, jnp.int32(0x7FFFFFFF)),
+                    axis=1, keepdims=True,
+                )
+                best_i = jnp.where(upd, bi, best_i)
+            return best_z2, best_i
+
+        best_z = jnp.full((s2, 1), _INF, jnp.float32)
+        best_i = jnp.full((s2, 1), -1, jnp.int32)
+        for r in range(2):
+            s = ranges_ref[i * 4 + r]
+            cnt = ranges_ref[i * 4 + 2 + r]
+            a = aligned[r]
             pltpu.make_async_copy(
-                payload.at[pl.ds(ranges_ref[i, r], k)], data_s.at[r],
-                sems.at[r],
+                payload.at[pl.ds(a // _LANES, n_blocks)],
+                data_s.at[r], sems.at[r],
             ).wait()
-            cnt = ranges_ref[i, 3 + r]
+            for j in range(n_blocks):
+                gidx = a + j * _LANES + lane
 
-            def blk(j, bz, r=r, cnt=cnt):
-                g = data_s[r, pl.ds(j * 8, 8), :]
-                have = (j * 8 + iota8) < cnt
-                zm = _eval_planes(g, have, px, py)
-                return jnp.minimum(bz, jnp.min(zm, axis=0, keepdims=True))
+                def do(carry, r=r, j=j, gidx=gidx, s=s, cnt=cnt):
+                    geo = data_s[r, j]
+                    return eval_block(geo, gidx, s, cnt, carry)
 
-            best_z = jax.lax.fori_loop(0, (cnt + 7) // 8, blk, best_z)
+                best_z, best_i = jax.lax.cond(
+                    a + j * _LANES < s + cnt,
+                    do, lambda c: c, (best_z, best_i),
+                )
 
-        for jb in range(nb // 8):
-            g = big_rows[pl.ds(jb * 8, 8), :]
-            have = big_mask[pl.ds(jb * 8, 8), :] > 0.5
-            zm = _eval_planes(g, have, px, py)
-            best_z = jnp.minimum(best_z, jnp.min(zm, axis=0, keepdims=True))
+        # big block: payload indices beyond p_pad mark big lanes
+        bgidx = p_pad + lane
+        best_z, best_i = eval_block(
+            big_rows[:, :],
+            jnp.where(big_mask[0:1, :] > 0.5, bgidx, jnp.int32(-0x7FFFFFFF)),
+            p_pad, jnp.int32(2 * _LANES), (best_z, best_i),
+        )
 
-        out_ref[0, 0, :] = jnp.where(best_z[0] >= _INF, 1.0, best_z[0])
-
-    return kernel
-
-
-def _attr_kernel(tile: int, k: int, nb: int, tw: int, ap: int):
-    """Attribute raster kernel. Output per tile [S^2, 2*ap+8]:
-    interp | nearest-corner | z | valid | pad."""
-    s2 = tile * tile
-    used = GEOM_COLS + 3 * ap
-
-    def kernel(ranges_ref, payload, big_rows, big_mask,
-               out_ref, data_s, sems):
-        i = pl.program_id(0)
-        x0 = (jax.lax.rem(i, tw) * tile).astype(jnp.float32)
-        y0 = (jax.lax.div(i, tw) * tile).astype(jnp.float32)
-        for r in range(3):
-            pltpu.make_async_copy(
-                payload.at[pl.ds(ranges_ref[i, r], k)], data_s.at[r],
-                sems.at[r],
-            ).start()
-
-        p = jax.lax.broadcasted_iota(jnp.int32, (1, s2), 1)
-        px = x0 + (p % tile).astype(jnp.float32) + 0.5
-        py = y0 + (p // tile).astype(jnp.float32) + 0.5
-        iota8 = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
-
-        best_z = jnp.full((1, s2), _INF, jnp.float32)
-        best_i = jnp.full((1, s2), -1, jnp.int32)
-
-        def fold(zm, base, carry):
-            bz_c, bi_c = carry
-            bz = jnp.min(zm, axis=0, keepdims=True)
-            is_min = zm <= bz
-            bi = jnp.min(
-                jnp.where(is_min, base + iota8, jnp.int32(0x7FFFFFFF)),
-                axis=0, keepdims=True,
+        if not n_attr:
+            out_ref[0, 0, :] = jnp.where(
+                best_z[:, 0] >= _INF, 1.0, best_z[:, 0]
             )
-            upd = bz < bz_c
-            return jnp.where(upd, bz, bz_c), jnp.where(upd, bi, bi_c)
+            return
 
-        for r in range(3):
-            pltpu.make_async_copy(
-                payload.at[pl.ds(ranges_ref[i, r], k)], data_s.at[r],
-                sems.at[r],
-            ).wait()
-            cnt = ranges_ref[i, 3 + r]
+        # ---- winner payload via one-hot MXU selects over the same blocks ----
+        valid = best_i >= 0
+        sel = jnp.zeros((s2, rows), jnp.float32)
+        for r in range(2):
+            s = ranges_ref[i * 4 + r]
+            cnt = ranges_ref[i * 4 + 2 + r]
+            a = aligned[r]
+            for j in range(n_blocks):
+                gidx = a + j * _LANES + lane
 
-            def blk(j, carry, r=r, cnt=cnt):
-                g = data_s[r, pl.ds(j * 8, 8), :]
-                have = (j * 8 + iota8) < cnt
-                zm = _eval_planes(g, have, px, py)
-                return fold(zm, r * k + j * 8, carry)
+                def sel_do(acc, r=r, j=j, gidx=gidx, s=s, cnt=cnt):
+                    # mask alignment-slack lanes: a winner row must only be
+                    # counted by the range that actually owns it
+                    have = (gidx >= s) & (gidx < s + cnt)
+                    oh = ((best_i == gidx) & have).astype(jnp.float32)
+                    blk = data_s[r, j]  # [R,128]
+                    return acc + jax.lax.dot_general(
+                        oh, blk,
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
 
-            best_z, best_i = jax.lax.fori_loop(
-                0, (cnt + 7) // 8, blk, (best_z, best_i)
-            )
-        for jb in range(nb // 8):
-            g = big_rows[pl.ds(jb * 8, 8), :]
-            have = big_mask[pl.ds(jb * 8, 8), :] > 0.5
-            zm = _eval_planes(g, have, px, py)
-            best_z, best_i = fold(zm, 3 * k + jb * 8, (best_z, best_i))
-
-        # winner payload via one-hot MXU selects
-        ii = best_i[0][:, None]  # [S^2,1]
-        valid = ii >= 0
-        kcol = jax.lax.broadcasted_iota(jnp.int32, (s2, k), 1)
-        sel = jnp.zeros((s2, used), jnp.float32)
-        for r in range(3):
-            oh = (ii == (kcol + r * k)).astype(jnp.float32)
-            sel = sel + jnp.dot(
-                oh, data_s[r, :, 0:used], preferred_element_type=jnp.float32
-            )
-        bcol = jax.lax.broadcasted_iota(jnp.int32, (s2, nb), 1)
-        ohb = (ii == (bcol + 3 * k)).astype(jnp.float32)
-        sel = sel + jnp.dot(
-            ohb, big_rows[:, 0:used], preferred_element_type=jnp.float32
+                sel = jax.lax.cond(
+                    a + j * _LANES < s + cnt, sel_do, lambda acc: acc, sel
+                )
+        ohb = (best_i == bgidx).astype(jnp.float32)
+        sel = sel + jax.lax.dot_general(
+            ohb, big_rows[:, :],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
 
         # per-pixel interpolation from the winner's planes
-        pc = jax.lax.broadcasted_iota(jnp.int32, (s2, 1), 0)
-        pxc = x0 + (pc % tile).astype(jnp.float32) + 0.5
-        pyc = y0 + (pc // tile).astype(jnp.float32) + 0.5
-        b0 = sel[:, 0:1] * pxc + sel[:, 1:2] * pyc + sel[:, 2:3]
-        b1 = sel[:, 3:4] * pxc + sel[:, 4:5] * pyc + sel[:, 5:6]
+        b0 = sel[:, 0:1] * px + sel[:, 1:2] * py + sel[:, 2:3]
+        b1 = sel[:, 3:4] * px + sel[:, 4:5] * py + sel[:, 5:6]
         b2 = 1.0 - b0 - b1
         pb0 = b0 * sel[:, 9:10]
         pb1 = b1 * sel[:, 10:11]
@@ -367,15 +356,15 @@ def _attr_kernel(tile: int, k: int, nb: int, tw: int, ap: int):
         pb0 = pb0 * norm
         pb1 = pb1 * norm
         pb2 = pb2 * norm
-        a0 = sel[:, GEOM_COLS : GEOM_COLS + ap]
-        a1 = sel[:, GEOM_COLS + ap : GEOM_COLS + 2 * ap]
-        a2 = sel[:, GEOM_COLS + 2 * ap : GEOM_COLS + 3 * ap]
+        a0 = sel[:, GEOM_ROWS : GEOM_ROWS + n_attr]
+        a1 = sel[:, GEOM_ROWS + n_attr : GEOM_ROWS + 2 * n_attr]
+        a2 = sel[:, GEOM_ROWS + 2 * n_attr : GEOM_ROWS + 3 * n_attr]
         interp = pb0 * a0 + pb1 * a1 + pb2 * a2
         m01 = pb0 >= pb1
         m = jnp.where(m01, pb0, pb1)
         near = jnp.where(m >= pb2, jnp.where(m01, a0, a1), a2)
         vf = valid.astype(jnp.float32)
-        z_out = jnp.where(valid, best_z[0][:, None], 1.0)
+        z_out = jnp.where(valid, best_z, 1.0)
         out = jnp.concatenate(
             [interp * vf, near * vf, z_out, vf,
              jnp.zeros((s2, 6), jnp.float32)],
@@ -383,7 +372,47 @@ def _attr_kernel(tile: int, k: int, nb: int, tw: int, ap: int):
         )
         out_ref[0] = out
 
-    return kernel
+    return kernel, oc
+
+
+def _run(ranges, payload, big_rows, big_mask, th, tw, tile, k_per_range,
+         n_attr, interpret):
+    n_tiles = th * tw
+    rows = payload.shape[1]  # payload is blocked [NB, R, 128]
+    p_pad = payload.shape[0] * _LANES
+    s2 = tile * tile
+    # DMA window: a range starts <128 lanes into its first block and holds
+    # up to k_per_range candidates
+    n_blocks = 1 + -(-k_per_range // _LANES)
+    kernel, oc = _make_kernel(tile, n_blocks, tw, rows, n_attr, p_pad)
+    if n_attr:
+        out_shape = jax.ShapeDtypeStruct((n_tiles, s2, oc), jnp.float32)
+        out_spec = pl.BlockSpec((1, s2, oc), lambda i, *_: (i, 0, 0),
+                                memory_space=pltpu.VMEM)
+    else:
+        out_shape = jax.ShapeDtypeStruct((n_tiles, 1, s2), jnp.float32)
+        out_spec = pl.BlockSpec((1, 1, s2), lambda i, *_: (i, 0, 0),
+                                memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # payload (HBM)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # big rows
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # big mask
+        ],
+        out_specs=out_spec,
+        scratch_shapes=[
+            pltpu.VMEM((2, n_blocks, rows, _LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=out_shape,
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(ranges, payload, big_rows, big_mask)
 
 
 def _untile(arr, th, tw, tile, height, width):
@@ -395,97 +424,46 @@ def _untile(arr, th, tw, tile, height, width):
     )
 
 
-def _run_depth(ranges, payload, big_rows, big_mask, th, tw, tile, k,
-               interpret):
-    n_tiles = th * tw
-    nb = big_rows.shape[0]
-    s2 = tile * tile
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),  # payload (HBM)
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, 1, s2), lambda i, *_: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((3, k, PW), jnp.float32),
-            pltpu.SemaphoreType.DMA((3,)),
-        ],
-    )
-    return pl.pallas_call(
-        _depth_kernel(tile, k, nb, tw),
-        out_shape=jax.ShapeDtypeStruct((n_tiles, 1, s2), jnp.float32),
-        grid_spec=grid_spec,
-        interpret=interpret,
-    )(ranges, payload, big_rows, big_mask)
-
-
-def _run_attr(ranges, payload, big_rows, big_mask, th, tw, tile, k,
-              ap, interpret):
-    n_tiles = th * tw
-    nb = big_rows.shape[0]
-    s2 = tile * tile
-    oc = 2 * ap + 8
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, s2, oc), lambda i, *_: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((3, k, PW), jnp.float32),
-            pltpu.SemaphoreType.DMA((3,)),
-        ],
-    )
-    return pl.pallas_call(
-        _attr_kernel(tile, k, nb, tw, ap),
-        out_shape=jax.ShapeDtypeStruct((n_tiles, s2, oc), jnp.float32),
-        grid_spec=grid_spec,
-        interpret=interpret,
-    )(ranges, payload, big_rows, big_mask)
-
-
 @functools.partial(
     jax.jit,
     static_argnames=(
         "height", "width", "tile", "k_per_range", "big_budget",
-        "cull_backfaces", "interpret",
+        "cull_backfaces", "interpret", "corner_major",
     ),
 )
 def rasterize_attributes(
     clip_pos,  # f32[T,3,4]
     tri_active,  # bool[T]
-    tri_indices,  # i32[T,3]
-    vert_attrs,  # f32[V,A]
+    tri_indices,  # i32[T,3] (ignored when corner_major)
+    vert_attrs,  # f32[V,A]; corner_major: V == 3T in corner order
     height: int,
     width: int,
     *,
     tile: int = 16,
     k_per_range: int = 256,
-    big_budget: int = 64,
+    big_budget: int = 128,
     cull_backfaces: bool = True,
     interpret: bool = False,
+    corner_major: bool = False,
 ):
     """Pallas raster with fused attribute interpolation.
 
     Drop-in analog of raster.rasterize_attributes: returns
-    (interp [H,W,A], near [H,W,A], valid [H,W]).
+    (interp [H,W,A], near [H,W,A], valid [H,W]). With ``corner_major`` the
+    vertex attributes are already laid out per triangle corner
+    (vert_attrs[3*t + i] = corner i of triangle t) and no gather is needed.
     """
     t = clip_pos.shape[0]
     a_dim = vert_attrs.shape[1]
     clip2, bary2, act2 = clip_triangles_near(clip_pos, tri_active)
     t2 = clip2.shape[0]
-    # per-corner attributes of the CLIPPED triangles: bary2-weighted mix of
-    # the original corners (slot j's original triangle is j % t)
-    vids2 = jnp.concatenate([tri_indices, tri_indices], axis=0)  # [T2,3]
-    corner_attrs = vert_attrs[vids2]  # [T2,3,A] (the 3T-row gather)
+    if corner_major:
+        corner_attrs = vert_attrs.reshape(t, 3, a_dim)
+        corner_attrs = jnp.concatenate([corner_attrs, corner_attrs], axis=0)
+    else:
+        vids2 = jnp.concatenate([tri_indices, tri_indices], axis=0)  # [T2,3]
+        corner_attrs = vert_attrs[vids2]  # [T2,3,A] (3T-row gather)
+    # per-corner attributes of the CLIPPED triangles (bary2-weighted)
     attr_c = jnp.einsum("tij,tja->tia", bary2, corner_attrs)
     attr_flat = attr_c.reshape(t2, 3 * a_dim)
 
@@ -493,8 +471,8 @@ def rasterize_attributes(
         clip2, act2, height, width, tile, k_per_range, big_budget,
         cull_backfaces, attr_flat, n_first=t,
     )
-    out = _run_attr(ranges, payload, big_rows, big_mask,
-                    th, tw, tile, k_per_range, a_dim, interpret)
+    out = _run(ranges, payload, big_rows, big_mask, th, tw, tile,
+               k_per_range, a_dim, interpret)
     full = _untile(out, th, tw, tile, height, width)
     interp = full[..., 0:a_dim]
     near = full[..., a_dim : 2 * a_dim]
@@ -516,20 +494,20 @@ def rasterize_depth(
     width: int,
     *,
     tile: int = 16,
-    k_per_range: int = 512,
-    big_budget: int = 64,
+    k_per_range: int = 256,
+    big_budget: int = 128,
     cull_backfaces: bool = True,
     interpret: bool = False,
 ):
     """Pallas depth-only raster (shadow maps). Returns depth f32[H,W].
 
-    The 12-column payload is carried through the binning sort (no gather)."""
+    The 12-row payload is carried through the binning sort (no gather)."""
     t = clip_pos.shape[0]
     clip2, _, act2 = clip_triangles_near(clip_pos, tri_active)
     ranges, payload, big_rows, big_mask, n_drop, th, tw = _bin(
         clip2, act2, height, width, tile, k_per_range, big_budget,
         cull_backfaces, None, n_first=t,
     )
-    out = _run_depth(ranges, payload, big_rows, big_mask,
-                     th, tw, tile, k_per_range, interpret)
+    out = _run(ranges, payload, big_rows, big_mask, th, tw, tile,
+               k_per_range, 0, interpret)
     return _untile(out[:, 0, :], th, tw, tile, height, width)
