@@ -1,4 +1,9 @@
-"""Isolate the slow sub-op in the raster attribute prologue on the TPU."""
+"""Isolate the slow sub-op in the raster attribute prologue on the TPU.
+
+Uses scalar-reduce readback: device_get of a big leaf through the ~30 MB/s
+tunnel poisons timings, and block_until_ready on the axon platform does not
+actually wait.
+"""
 
 import os
 import time
@@ -10,23 +15,33 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-T = int(os.environ.get("T", str(1 << 16)))
+T = int(os.environ.get("T", str(1 << 19)))
 A = 20
 
 
-def readback(x):
-    return float(np.asarray(jax.device_get(jax.tree_util.tree_leaves(x)[0])).ravel()[0])
+def _scalarize(fn):
+    @jax.jit
+    def g(*a):
+        out = fn(*a)
+        acc = jnp.float32(0)
+        for leaf in jax.tree_util.tree_leaves(out):
+            acc = acc + jnp.sum(leaf.astype(jnp.float32))
+        return acc
+
+    return g
 
 
 def bench(name, fn, *args, n=10):
+    g = _scalarize(fn)
     t0 = time.perf_counter()
-    readback(fn(*args))
+    float(np.asarray(g(*args)))
     print(f"[{name}] compile+first {time.perf_counter()-t0:.0f}s", flush=True)
     ts = []
     for _ in range(3):
         t0 = time.perf_counter()
-        outs = [fn(*args) for _ in range(n)]
-        readback(outs[-1])
+        for _ in range(n):
+            r = g(*args)
+        float(np.asarray(r))
         ts.append((time.perf_counter() - t0) * 1e3 / n)
     print(f"{name}: {min(ts):.2f} ms", flush=True)
 
@@ -35,47 +50,42 @@ key = jax.random.PRNGKey(0)
 v = jax.random.normal(key, (3 * T, A))
 tri = jnp.arange(3 * T, dtype=jnp.int32).reshape(T, 3)
 bary2 = jnp.broadcast_to(jnp.eye(3)[None], (2 * T, 3, 3))
-k1, _ = jax.random.split(key)
-clip_pos = jax.random.normal(k1, (T, 3, 4))
-k = jnp.zeros((T,), jnp.int32)
 
-bench("gather [T,3] idx", jax.jit(lambda v, t: v[t]), v, tri)
-bench("gather flat idx", jax.jit(lambda v, t: v[t.ravel()].reshape(T, 3, A)), v, tri)
-bench(
-    "gather flat wide (reshape [T,3A] first)",
-    jax.jit(lambda v, t: v.reshape(T, 3 * A)[t[:, 0] // 3]),
-    v,
-    tri,
-)
-corner = v[tri]
-corner2 = jnp.concatenate([corner, corner], axis=0)
-bench(
-    "einsum bary x corner",
-    jax.jit(lambda b, c: jnp.einsum("tij,tja->tia", b, c)),
-    bary2,
-    corner2,
-)
-bench(
-    "take_along_axis rot (old clip)",
-    jax.jit(
-        lambda c, kk: jnp.take_along_axis(
-            c, ((kk[:, None] + jnp.arange(3)[None, :]) % 3)[..., None], axis=1
-        )
-    ),
-    clip_pos,
-    k,
-)
-bench(
-    "one-hot rot (new clip)",
-    jax.jit(
-        lambda c, kk: jnp.einsum(
-            "tij,tjc->tic",
-            jax.nn.one_hot(
-                (kk[:, None] + jnp.arange(3)[None, :]) % 3, 3, dtype=c.dtype
-            ),
-            c,
-        )
-    ),
-    clip_pos,
-    k,
-)
+
+def current(v, t, b):
+    """The shipped path: [T2,3,A] gather + einsum blend."""
+    vids2 = jnp.concatenate([t, t], axis=0)
+    corner = v[vids2]  # [T2,3,A]
+    attr_c = jnp.einsum("tij,tja->tia", b, corner)
+    return attr_c.reshape(2 * T, 3 * A)
+
+
+def gather_only(v, t):
+    vids2 = jnp.concatenate([t, t], axis=0)
+    return v[vids2]
+
+
+def flat2d(v, t, b):
+    """All-2D variant: per-corner [T,A] gathers + 9 MACs on [T2,A] arrays
+    (no [T2,3,A] intermediates — 3D shapes pad every 20-float row to 128
+    lanes and relayout repeatedly)."""
+    c = [jnp.concatenate([v[t[:, j]]] * 2, axis=0) for j in range(3)]  # [T2,A]
+    outs = []
+    for i in range(3):
+        acc = b[:, i, 0:1] * c[0] + b[:, i, 1:2] * c[1] + b[:, i, 2:3] * c[2]
+        outs.append(acc)
+    return jnp.concatenate(outs, axis=-1)  # [T2,3A]
+
+
+def gather_flat2d(v, t):
+    return [jnp.concatenate([v[t[:, j]]] * 2, axis=0) for j in range(3)]
+
+
+bench("current gather+einsum", current, v, tri, bary2)
+bench("gather [T2,3,A] only", gather_only, v, tri)
+bench("flat2d gather only", gather_flat2d, v, tri)
+bench("flat2d gather+blend", flat2d, v, tri, bary2)
+
+out_cur = np.asarray(jax.jit(current)(v, tri, bary2))
+out_new = np.asarray(jax.jit(flat2d)(v, tri, bary2))
+print("max diff:", float(np.abs(out_cur - out_new).max()))

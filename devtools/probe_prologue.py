@@ -18,20 +18,37 @@ H, W = 1080, 1920
 A = 20
 
 
-def readback(x):
-    return float(np.asarray(jax.device_get(jax.tree_util.tree_leaves(x)[0])).ravel()[0])
+def _scalarize(fn):
+    """Wrap fn so it returns ONE f32 scalar data-dependent on every output.
+
+    Device-get of a big leaf through the ~30 MB/s tunnel poisons timings by
+    hundreds of ms, and block_until_ready on the axon platform does not
+    actually wait — a 4-byte scalar readback is the only honest sync."""
+
+    @jax.jit
+    def g(*a):
+        out = fn(*a)
+        acc = jnp.float32(0)
+        for leaf in jax.tree_util.tree_leaves(out):
+            # full-sum so no part of the computation is dead code
+            acc = acc + jnp.sum(leaf.astype(jnp.float32))
+        return acc
+
+    return g
 
 
 def bench(name, fn, *args, n=5):
+    g = _scalarize(fn)
     print(f"[{name}] compiling...", flush=True)
     t0 = time.perf_counter()
-    readback(fn(*args))
+    float(np.asarray(g(*args)))
     print(f"[{name}] compile+first {time.perf_counter()-t0:.0f}s", flush=True)
     ts = []
     for _ in range(3):
         t0 = time.perf_counter()
-        outs = [fn(*args) for _ in range(n)]
-        readback(outs[-1])
+        for _ in range(n):
+            r = g(*args)
+        float(np.asarray(r))
         ts.append((time.perf_counter() - t0) * 1e3 / n)
     print(f"{name}: {min(ts):.1f} ms", flush=True)
 

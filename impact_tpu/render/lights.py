@@ -95,23 +95,41 @@ def _look_view_matrix(eye, fwd, up):
 
 def render_omni_shadow_cubemap(
     light_pos, world_pos_per_vertex, tri_indices, tri_active, resolution: int,
-    near=0.05, far=100.0,
+    near=0.05, far=100.0, backend: str = "xla",
 ):
     """6-face depth cubemap for one point light (ref: omni shadow map update
     pass, 6 faces per light). Returns (depths [6,S,S], view_projs [6,4,4])."""
 
     face_dirs = jnp.asarray(CUBE_FACE_DIRS)
     face_ups = jnp.asarray(CUBE_FACE_UPS)
+    hp = jnp.concatenate(
+        [world_pos_per_vertex, jnp.ones_like(world_pos_per_vertex[..., :1])], -1
+    )
+    proj = perspective_projection_matrix(1.0, jnp.pi / 2, near, far)
+
+    def face_clip(i):
+        view = _look_view_matrix(light_pos, face_dirs[i], face_ups[i])
+        vp = proj @ view
+        clip = jnp.einsum("ij,vj->vi", vp, hp)
+        return clip[tri_indices], vp  # [T,3,4]
+
+    if backend == "pallas":
+        from .raster_pallas import rasterize_depth
+
+        # static Python loop over the 6 faces (one kernel compile, 6 calls —
+        # Pallas kernels don't batch under vmap the way XLA ops do)
+        ds, vs = [], []
+        for i in range(6):
+            tri_clip, vp = face_clip(i)
+            ds.append(rasterize_depth(
+                tri_clip, tri_active, resolution, resolution,
+                cull_backfaces=False,
+            ))
+            vs.append(vp)
+        return jnp.stack(ds), jnp.stack(vs)
 
     def face(i):
-        view = _look_view_matrix(light_pos, face_dirs[i], face_ups[i])
-        proj = perspective_projection_matrix(1.0, jnp.pi / 2, near, far)
-        vp = proj @ view
-        hp = jnp.concatenate(
-            [world_pos_per_vertex, jnp.ones_like(world_pos_per_vertex[..., :1])], -1
-        )
-        clip = jnp.einsum("ij,vj->vi", vp, hp)
-        tri_clip = clip[tri_indices]  # [T,3,4]
+        tri_clip, vp = face_clip(i)
         # smaller big-pass budget + tile chunks: depth-only targets under a
         # 6-face vmap (memory per loop iteration is multiplied by the batch)
         # 90° face frusta close to geometry stretch triangle screen bboxes
@@ -131,6 +149,7 @@ def render_omni_shadow_cubemap(
 def render_uni_shadow_map(
     light_dir, scene_center, scene_radius,
     world_pos_per_vertex, tri_indices, tri_active, resolution: int,
+    backend: str = "xla",
 ):
     """Orthographic shadow map for a directional light covering the scene
     bounding sphere (single cascade; the cascade split logic of the
@@ -150,6 +169,13 @@ def render_uni_shadow_map(
     )
     clip = jnp.einsum("ij,vj->vi", vp, hp)
     tri_clip = clip[tri_indices]
+    if backend == "pallas":
+        from .raster_pallas import rasterize_depth
+
+        depth = rasterize_depth(
+            tri_clip, tri_active, resolution, resolution, cull_backfaces=False,
+        )
+        return depth, vp
     target, _, _ = rasterlib.rasterize(
         tri_clip, tri_active, resolution, resolution, cull_backfaces=False,
         k_per_tile=256, big_budget=64, tiles_per_chunk=64,
@@ -459,7 +485,7 @@ def _frustum_corners_world(cam_pos, cam_orientation, vertical_fov, aspect, d0, d
 def render_uni_shadow_cascades(
     light_dir, cam_pos, cam_orientation, vertical_fov, aspect, near, far,
     world_pos_per_vertex, tri_indices, tri_active, resolution: int,
-    n_cascades: int,
+    n_cascades: int, backend: str = "xla",
 ):
     """n-cascade directional shadow maps fit to the camera sub-frusta
     (ref: uni shadow cascade update passes, ≤4 cascades per light).
@@ -477,8 +503,14 @@ def render_uni_shadow_cascades(
         return render_uni_shadow_map(
             light_dir, center, radius,
             world_pos_per_vertex, tri_indices, tri_active, resolution,
+            backend=backend,
         )
 
+    if backend == "pallas":
+        # static loop: Pallas kernels don't batch under vmap
+        outs = [one(c) for c in range(n_cascades)]
+        return (jnp.stack([o[0] for o in outs]),
+                jnp.stack([o[1] for o in outs]), splits)
     depths, vps = jax.vmap(one)(jnp.arange(n_cascades))
     return depths, vps, splits
 

@@ -91,6 +91,10 @@ class RenderConfig(NamedTuple):
     # compacted to this many before clipping — the render-side analog of the
     # reference's chunk culling + indirect draws
     max_triangles: int = 65536
+    # "pallas" = the Pallas tile kernel (raster_pallas.py, TPU), "xla" = the
+    # XLA tile-binned raster (raster.py, CPU oracle + fallback). Resolved
+    # from "auto" by platform at config-build time (runtime/setup.py).
+    raster_backend: str = "xla"
 
 
 class RenderState(NamedTuple):
@@ -176,9 +180,16 @@ def geometry_pass(
         ],
         axis=-1,
     )
-    out, near, valid = rasterlib.rasterize_attributes(
-        tri_clip, scene.tri_active, scene.tri_indices, packed, h, w
-    )
+    if config.raster_backend == "pallas":
+        from . import raster_pallas
+
+        out, near, valid = raster_pallas.rasterize_attributes(
+            tri_clip, scene.tri_active, scene.tri_indices, packed, h, w
+        )
+    else:
+        out, near, valid = rasterlib.rasterize_attributes(
+            tri_clip, scene.tri_active, scene.tri_indices, packed, h, w
+        )
 
     world_pos = out[..., 0:3]
     world_pos_prev = out[..., 3:6]
@@ -229,16 +240,25 @@ def shadow_pass(scene: RenderScene, lights: LightPools, cam: Camera, config: Ren
         return None, None
 
     shadow_tris = scene.tri_active & scene.tri_shadow
+    backend = config.raster_backend
 
     def omni_one(pos):
         return render_omni_shadow_cubemap(
             pos, scene.vert_pos, scene.tri_indices, shadow_tris,
-            config.shadow_map_resolution,
+            config.shadow_map_resolution, backend=backend,
         )
 
     from .lights import quad_pack
 
-    omni_depths, omni_vps = jax.vmap(omni_one)(lights.omni_position)
+    if backend == "pallas":
+        # static loop over the light pool: Pallas kernels don't batch under
+        # vmap (pool slots are few; masked-out lights render empty maps)
+        outs = [omni_one(lights.omni_position[i])
+                for i in range(lights.omni_position.shape[0])]
+        omni_depths = jnp.stack([o[0] for o in outs])
+        omni_vps = jnp.stack([o[1] for o in outs])
+    else:
+        omni_depths, omni_vps = jax.vmap(omni_one)(lights.omni_position)
     # quad-pack once per frame: the shade pass then needs ONE gather row per
     # pixel for all four bilinear PCF taps
     omni_shadows = (quad_pack(omni_depths), omni_vps)
@@ -251,9 +271,17 @@ def shadow_pass(scene: RenderScene, lights: LightPools, cam: Camera, config: Ren
                 w / h, cam.near, jnp.minimum(cam.far, 200.0),
                 scene.vert_pos, scene.tri_indices, shadow_tris,
                 config.shadow_map_resolution, config.csm_cascades,
+                backend=backend,
             )
 
-        uni_depths, uni_vps, uni_splits = jax.vmap(uni_one)(lights.uni_direction)
+        if backend == "pallas":
+            outs = [uni_one(lights.uni_direction[i])
+                    for i in range(lights.uni_direction.shape[0])]
+            uni_depths = jnp.stack([o[0] for o in outs])
+            uni_vps = jnp.stack([o[1] for o in outs])
+            uni_splits = jnp.stack([o[2] for o in outs])
+        else:
+            uni_depths, uni_vps, uni_splits = jax.vmap(uni_one)(lights.uni_direction)
     else:
         scene_center = jnp.mean(
             jnp.where(scene.tri_active.any(), scene.vert_pos, 0.0), axis=0
@@ -266,10 +294,16 @@ def shadow_pass(scene: RenderScene, lights: LightPools, cam: Camera, config: Ren
             return render_uni_shadow_map(
                 d, scene_center, scene_radius,
                 scene.vert_pos, scene.tri_indices, shadow_tris,
-                config.shadow_map_resolution,
+                config.shadow_map_resolution, backend=backend,
             )
 
-        uni_depths, uni_vps = jax.vmap(uni_one)(lights.uni_direction)
+        if backend == "pallas":
+            outs = [uni_one(lights.uni_direction[i])
+                    for i in range(lights.uni_direction.shape[0])]
+            uni_depths = jnp.stack([o[0] for o in outs])
+            uni_vps = jnp.stack([o[1] for o in outs])
+        else:
+            uni_depths, uni_vps = jax.vmap(uni_one)(lights.uni_direction)
         uni_depths = uni_depths[:, None]
         uni_vps = uni_vps[:, None]
         uni_splits = jnp.tile(

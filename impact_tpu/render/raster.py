@@ -58,11 +58,16 @@ def clip_triangles_near(clip_pos, tri_active, eps: float = 1e-6):
     eye3 = jnp.eye(3, dtype=clip_pos.dtype)
 
     def rotated(k):
-        """Vertices and identity barys rotated so vertex k comes first."""
+        """Vertices and identity barys rotated so vertex k comes first.
+
+        One-hot matmul selection: take_along_axis with a lane-broadcast index
+        lowers to per-element gathers on TPU (~10x slower)."""
         idx = (k[:, None] + jnp.arange(3)[None, :]) % 3  # [T,3]
-        v = jnp.take_along_axis(clip_pos, idx[..., None], axis=1)
-        b = eye3[idx]  # [T,3,3]
-        return v, b
+        oh = (idx[..., None] == jnp.arange(3)[None, None, :]).astype(
+            clip_pos.dtype
+        )  # [T,3,3]; row i of oh IS vertex (k+i)%3's bary weights
+        v = jnp.einsum("tij,tjc->tic", oh, clip_pos)
+        return v, oh
 
     def lerp(va, ba, vb, bb):
         """Near-plane intersection on edge a→b (in clip + bary space)."""

@@ -1035,7 +1035,15 @@ def render_config_from_engine_config(config: EngineConfig):
         # Manual { iso } (ref: capturing.rs SensorSensitivity) fixes exposure
         if getattr(sens, "name", "") == "Manual" or "iso" in sens.fields:
             iso = sens.fields.get("iso")
+    backend = config.tpu.raster_backend
+    if backend == "auto":
+        # Pallas kernels are TPU-only; CPU (tests, parity suite, virtual
+        # meshes) uses the XLA tile raster, which the kernel is tested against
+        import jax
+
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
     return RenderConfig(
+        raster_backend=backend,
         exposure_iso=iso,
         relative_aperture=cam.relative_aperture,
         shutter_duration=cam.shutter_duration,

@@ -16,6 +16,7 @@ from impact_tpu.scene.mesh import box_mesh, sphere_mesh
 
 
 class TestDragLoadMap:
+    @pytest.mark.slow
     def test_sphere_force_opposes_motion_no_torque(self):
         m = sphere_mesh(radius=1.0, n_rings=24, n_segments=48)
         dm = build_drag_load_map(m.positions, m.indices)
@@ -29,6 +30,7 @@ class TestDragLoadMap:
             # symmetric shape about its COM: no drag torque
             assert np.linalg.norm(t) < 0.05 * np.linalg.norm(f)
 
+    @pytest.mark.slow
     def test_sphere_newtonian_drag_coefficient(self):
         """Newtonian flat-plate integration over a sphere gives |F| ≈ Cd·A
         with Cd ≈ 1 (per unit dynamic pressure)."""
@@ -65,6 +67,7 @@ class TestDragLoadMap:
         b = get_or_build_drag_load_map(m.positions, m.indices, directory=tmp_path)
         np.testing.assert_array_equal(np.asarray(a.table), np.asarray(b.table))
 
+    @pytest.mark.slow
     def test_engine_integration_drag_map_slows_body(self):
         """A DetailedDrag sphere in a dense medium decelerates via the
         sampled map (setup assigns the map; forces.py samples it)."""

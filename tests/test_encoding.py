@@ -45,6 +45,7 @@ class TestEncoding:
 
 
 class TestEngineI8:
+    @pytest.mark.slow
     def test_i8_engine_close_to_f32(self):
         """The full engine with i8 SDF storage tracks the f32 engine within
         quantization-level tolerance on the tumbler scene."""

@@ -6,6 +6,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from the fast gate
+
 from impact_tpu.models import SCENES, fracturing, voxel_box_tumbler
 from impact_tpu.runtime import HeadlessRuntime, compile_scene
 from impact_tpu.utils.config import EngineConfig

@@ -9,9 +9,12 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from impact_tpu.parallel import make_device_mesh
 from impact_tpu.parallel.halo import make_sharded_min_filter_x
 
-pytestmark = pytest.mark.skipif(
-    len(jax.devices("cpu")) < 8, reason="needs 8 virtual CPU devices"
-)
+pytestmark = [
+    pytest.mark.skipif(
+        len(jax.devices("cpu")) < 8, reason="needs 8 virtual CPU devices"
+    ),
+    pytest.mark.slow,  # compile-heavy: excluded from the fast gate
+]
 
 
 def _mesh():

@@ -11,6 +11,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from the fast gate
+
 from impact_tpu.render import raster as rasterlib
 from impact_tpu.render import raster_pallas as rp
 

@@ -5,6 +5,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from the fast gate
+
 from impact_tpu.render import post, raster as rl
 from impact_tpu.render.camera import Camera, look_at, view_proj
 from impact_tpu.render.brdf import evaluate_brdf

@@ -3,6 +3,8 @@
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from the fast gate
+
 from impact_tpu.ecs import World
 from impact_tpu.ecs import components as C
 from impact_tpu.models import ball_pit

@@ -5,6 +5,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy: excluded from the fast gate
+
 from impact_tpu.render.textures import (
     LookupTable,
     SamplerConfig,
