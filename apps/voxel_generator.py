@@ -81,9 +81,10 @@ def cmd_preview(path, out_png, grid_size=48, extent=0.5):
     import numpy as np
 
     from impact_tpu.render import (
-        Camera, RenderConfig, RenderScene, empty_light_pools, init_render_state,
+        Camera, RenderConfig, empty_light_pools, init_render_state,
         look_at, render_frame,
     )
+    from impact_tpu.scene.assembly import render_scene_from_indexed
     from impact_tpu.utils.image import save_png
     from impact_tpu.voxel import sdf, generate_sdf_grid, surface_nets
 
@@ -92,18 +93,12 @@ def cmd_preview(path, out_png, grid_size=48, extent=0.5):
     mesh = surface_nets(s, jnp.zeros((grid_size,) * 3, jnp.int32))
     verts = mesh.vert_pos * extent + origin
     v = verts.shape[0]
-    scene = RenderScene(
-        vert_pos=verts,
-        vert_pos_prev=verts,
-        vert_normal=mesh.vert_normal,
-        vert_albedo=jnp.tile(jnp.asarray([[0.55, 0.45, 0.38]]), (v, 1)),
-        vert_f0=jnp.full((v, 3), 0.04),
-        vert_roughness=jnp.full(v, 0.8),
-        vert_emissive=jnp.zeros((v, 3)),
-        vert_material=jnp.full((v,), -1, jnp.int32),
-        tri_indices=mesh.tri_indices,
-        tri_active=mesh.tri_active,
-        tri_shadow=mesh.tri_active,
+    scene = render_scene_from_indexed(
+        verts, mesh.vert_normal,
+        jnp.tile(jnp.asarray([[0.55, 0.45, 0.38]]), (v, 1)),
+        jnp.full((v, 3), 0.04), jnp.full(v, 0.8), jnp.zeros((v, 3)),
+        jnp.full((v,), -1, jnp.int32),
+        mesh.tri_indices, mesh.tri_active,
     )
     lights = empty_light_pools(1, 1)
     lights = lights._replace(

@@ -94,24 +94,22 @@ def _look_view_matrix(eye, fwd, up):
 
 
 def render_omni_shadow_cubemap(
-    light_pos, world_pos_per_vertex, tri_indices, tri_active, resolution: int,
+    light_pos, tri_pos9, tri_active, resolution: int,
     near=0.05, far=100.0, backend: str = "xla",
 ):
     """6-face depth cubemap for one point light (ref: omni shadow map update
-    pass, 6 faces per light). Returns (depths [6,S,S], view_projs [6,4,4])."""
+    pass, 6 faces per light). ``tri_pos9``: corner-major world positions
+    [T,9]. Returns (depths [6,S,S], view_projs [6,4,4])."""
+    from .pipeline import project_corners
 
     face_dirs = jnp.asarray(CUBE_FACE_DIRS)
     face_ups = jnp.asarray(CUBE_FACE_UPS)
-    hp = jnp.concatenate(
-        [world_pos_per_vertex, jnp.ones_like(world_pos_per_vertex[..., :1])], -1
-    )
     proj = perspective_projection_matrix(1.0, jnp.pi / 2, near, far)
 
     def face_clip(i):
         view = _look_view_matrix(light_pos, face_dirs[i], face_ups[i])
         vp = proj @ view
-        clip = jnp.einsum("ij,vj->vi", vp, hp)
-        return clip[tri_indices], vp  # [T,3,4]
+        return project_corners(tri_pos9, vp), vp  # [T,3,4]
 
     if backend == "pallas":
         from .raster_pallas import rasterize_depth
@@ -148,7 +146,7 @@ def render_omni_shadow_cubemap(
 
 def render_uni_shadow_map(
     light_dir, scene_center, scene_radius,
-    world_pos_per_vertex, tri_indices, tri_active, resolution: int,
+    tri_pos9, tri_active, resolution: int,
     backend: str = "xla",
 ):
     """Orthographic shadow map for a directional light covering the scene
@@ -164,11 +162,9 @@ def render_uni_shadow_map(
     r = scene_radius
     proj = orthographic_projection_matrix(-r, r, -r, r, 0.05, 4.0 * r)
     vp = proj @ view
-    hp = jnp.concatenate(
-        [world_pos_per_vertex, jnp.ones_like(world_pos_per_vertex[..., :1])], -1
-    )
-    clip = jnp.einsum("ij,vj->vi", vp, hp)
-    tri_clip = clip[tri_indices]
+    from .pipeline import project_corners
+
+    tri_clip = project_corners(tri_pos9, vp)
     if backend == "pallas":
         from .raster_pallas import rasterize_depth
 
@@ -484,7 +480,7 @@ def _frustum_corners_world(cam_pos, cam_orientation, vertical_fov, aspect, d0, d
 
 def render_uni_shadow_cascades(
     light_dir, cam_pos, cam_orientation, vertical_fov, aspect, near, far,
-    world_pos_per_vertex, tri_indices, tri_active, resolution: int,
+    tri_pos9, tri_active, resolution: int,
     n_cascades: int, backend: str = "xla",
 ):
     """n-cascade directional shadow maps fit to the camera sub-frusta
@@ -502,7 +498,7 @@ def render_uni_shadow_cascades(
         radius = jnp.max(jnp.linalg.norm(corners - center, axis=-1)) + 1e-3
         return render_uni_shadow_map(
             light_dir, center, radius,
-            world_pos_per_vertex, tri_indices, tri_active, resolution,
+            tri_pos9, tri_active, resolution,
             backend=backend,
         )
 

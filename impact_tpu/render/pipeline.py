@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from . import post, raster as rasterlib
@@ -28,17 +29,23 @@ from .lights import (
 
 
 class RenderScene(NamedTuple):
-    """Flattened world-space geometry for one frame (from the scene module)."""
+    """Flattened world-space geometry for one frame (from the scene module).
 
-    vert_pos: jnp.ndarray  # f32[V,3] world positions
-    vert_pos_prev: jnp.ndarray  # f32[V,3] previous-frame world positions
-    vert_normal: jnp.ndarray  # f32[V,3] world normals
-    vert_albedo: jnp.ndarray  # f32[V,3]
-    vert_f0: jnp.ndarray  # f32[V,3] specular reflectance at normal incidence
-    vert_roughness: jnp.ndarray  # f32[V]
-    vert_emissive: jnp.ndarray  # f32[V,3]
-    vert_material: jnp.ndarray  # i32[V] texture layer (voxel type), -1 untextured
-    tri_indices: jnp.ndarray  # i32[T,3]
+    CORNER-MAJOR: every per-vertex quantity is stored per triangle corner
+    ([:, 3c:3c+3] / [:, c] is corner c) so the per-frame render path never
+    gathers by triangle index — a [T,3]-indexed gather at bench scale
+    measured ~150 ms/frame on the v5e (devtools/probe_attr_ops.py). The
+    corner layout is built once per remesh (CompactMesh.tri_*) and
+    transformed elementwise here each frame."""
+
+    tri_pos: jnp.ndarray  # f32[T,9] world corner positions
+    tri_pos_prev: jnp.ndarray  # f32[T,9] previous-frame world corner positions
+    tri_normal: jnp.ndarray  # f32[T,9] world corner normals
+    tri_albedo: jnp.ndarray  # f32[T,9]
+    tri_f0: jnp.ndarray  # f32[T,9] specular reflectance at normal incidence
+    tri_roughness: jnp.ndarray  # f32[T,3]
+    tri_emissive: jnp.ndarray  # f32[T,9]
+    tri_material: jnp.ndarray  # i32[T,3] texture layer (voxel type), -1 untextured
     tri_active: jnp.ndarray  # bool[T]
     tri_shadow: jnp.ndarray  # bool[T] casts shadows (scene flags + distance rules)
 
@@ -129,15 +136,25 @@ class GBuffer(NamedTuple):
 
 def compact_scene_triangles(scene: RenderScene, max_triangles: int) -> RenderScene:
     """Compact active triangle slots to the raster budget (slots are mostly
-    masked: fixed-capacity voxel meshes)."""
+    masked: fixed-capacity voxel meshes). Corner-major: every field is
+    per-triangle, so compaction gathers all of them — size the budget to the
+    slot count when possible to skip this entirely."""
     if scene.tri_active.shape[0] > max_triangles:
         order = jnp.argsort(~scene.tri_active, stable=True)[:max_triangles]
-        scene = scene._replace(
-            tri_indices=scene.tri_indices[order],
-            tri_active=scene.tri_active[order],
-            tri_shadow=scene.tri_shadow[order],
-        )
+        scene = jax.tree.map(lambda a: a[order], scene)
     return scene
+
+
+def project_corners(tri_pos9, vp):
+    """Corner-major world positions [T,9] → clip positions [T,3,4].
+
+    Elementwise per corner (no gather); the [T,3,4] stack is materialized
+    only at the raster API boundary."""
+    cols = []
+    for c in range(3):
+        p = tri_pos9[:, 3 * c : 3 * c + 3]
+        cols.append(p @ vp[:, :3].T + vp[None, :, 3])
+    return jnp.stack(cols, axis=1)
 
 
 def geometry_pass(
@@ -160,35 +177,39 @@ def geometry_pass(
     pm_prev = projection_matrix(cam_prev, w, h, None, orthographic=ortho)
     vp_prev = pm_prev @ vm_prev
 
-    hp = jnp.concatenate([scene.vert_pos, jnp.ones_like(scene.vert_pos[..., :1])], -1)
-    clip = jnp.einsum("ij,vj->vi", vp, hp)
-    tri_clip = clip[scene.tri_indices]
+    tri_clip = project_corners(scene.tri_pos, vp)
 
     # fused raster: attributes are fetched per (tile, candidate) inside the
-    # tile loop and interpolated at winner selection — far fewer gather rows
-    # than a per-pixel [H,W,3] gather from [V,A] after a resolve pass
-    packed = jnp.concatenate(
-        [
-            scene.vert_pos,  # 0:3
-            scene.vert_pos_prev,  # 3:6
-            scene.vert_normal,  # 6:9
-            scene.vert_albedo,  # 9:12
-            scene.vert_f0,  # 12:15
-            scene.vert_roughness[:, None],  # 15
-            scene.vert_emissive,  # 16:19
-            scene.vert_material.astype(jnp.float32)[:, None],  # 19
-        ],
-        axis=-1,
-    )
+    # tile loop and interpolated at winner selection. Corner-major [T,60]
+    # packing (20 attrs per corner) — no per-frame gather at all.
+    def corner_attrs(c):
+        return jnp.concatenate(
+            [
+                scene.tri_pos[:, 3 * c : 3 * c + 3],  # 0:3
+                scene.tri_pos_prev[:, 3 * c : 3 * c + 3],  # 3:6
+                scene.tri_normal[:, 3 * c : 3 * c + 3],  # 6:9
+                scene.tri_albedo[:, 3 * c : 3 * c + 3],  # 9:12
+                scene.tri_f0[:, 3 * c : 3 * c + 3],  # 12:15
+                scene.tri_roughness[:, c : c + 1],  # 15
+                scene.tri_emissive[:, 3 * c : 3 * c + 3],  # 16:19
+                scene.tri_material[:, c : c + 1].astype(jnp.float32),  # 19
+            ],
+            axis=-1,
+        )
+
+    packed = jnp.concatenate([corner_attrs(c) for c in range(3)], axis=-1)
+    t = scene.tri_active.shape[0]
     if config.raster_backend == "pallas":
         from . import raster_pallas
 
         out, near, valid = raster_pallas.rasterize_attributes(
-            tri_clip, scene.tri_active, scene.tri_indices, packed, h, w
+            tri_clip, scene.tri_active, None, packed, h, w, corner_major=True
         )
     else:
+        # XLA fallback (CPU oracle): identity corner indices
+        idx = jnp.arange(3 * t, dtype=jnp.int32).reshape(t, 3)
         out, near, valid = rasterlib.rasterize_attributes(
-            tri_clip, scene.tri_active, scene.tri_indices, packed, h, w
+            tri_clip, scene.tri_active, idx, packed.reshape(3 * t, 20), h, w
         )
 
     world_pos = out[..., 0:3]
@@ -244,7 +265,7 @@ def shadow_pass(scene: RenderScene, lights: LightPools, cam: Camera, config: Ren
 
     def omni_one(pos):
         return render_omni_shadow_cubemap(
-            pos, scene.vert_pos, scene.tri_indices, shadow_tris,
+            pos, scene.tri_pos, shadow_tris,
             config.shadow_map_resolution, backend=backend,
         )
 
@@ -269,7 +290,7 @@ def shadow_pass(scene: RenderScene, lights: LightPools, cam: Camera, config: Ren
             return render_uni_shadow_cascades(
                 d, cam.position, cam.orientation, cam.vertical_fov,
                 w / h, cam.near, jnp.minimum(cam.far, 200.0),
-                scene.vert_pos, scene.tri_indices, shadow_tris,
+                scene.tri_pos, shadow_tris,
                 config.shadow_map_resolution, config.csm_cascades,
                 backend=backend,
             )
@@ -283,17 +304,21 @@ def shadow_pass(scene: RenderScene, lights: LightPools, cam: Camera, config: Ren
         else:
             uni_depths, uni_vps, uni_splits = jax.vmap(uni_one)(lights.uni_direction)
     else:
-        scene_center = jnp.mean(
-            jnp.where(scene.tri_active.any(), scene.vert_pos, 0.0), axis=0
-        )
+        corner0 = scene.tri_pos[:, 0:3]
+        act = scene.tri_active[:, None]
+        scene_center = jnp.sum(
+            jnp.where(act, corner0, 0.0), axis=0
+        ) / jnp.maximum(jnp.sum(scene.tri_active), 1)
         scene_radius = jnp.maximum(
-            jnp.max(jnp.linalg.norm(scene.vert_pos - scene_center, axis=-1)), 1.0
+            jnp.max(jnp.where(
+                scene.tri_active,
+                jnp.linalg.norm(corner0 - scene_center, axis=-1), 0.0)), 1.0
         )
 
         def uni_one(d):
             return render_uni_shadow_map(
                 d, scene_center, scene_radius,
-                scene.vert_pos, scene.tri_indices, shadow_tris,
+                scene.tri_pos, shadow_tris,
                 config.shadow_map_resolution, backend=backend,
             )
 

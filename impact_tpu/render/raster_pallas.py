@@ -435,7 +435,7 @@ def rasterize_attributes(
     clip_pos,  # f32[T,3,4]
     tri_active,  # bool[T]
     tri_indices,  # i32[T,3] (ignored when corner_major)
-    vert_attrs,  # f32[V,A]; corner_major: V == 3T in corner order
+    vert_attrs,  # f32[V,A]; corner_major: f32[T, 3A], [:, c*A:(c+1)*A] = corner c
     height: int,
     width: int,
     *,
@@ -454,18 +454,36 @@ def rasterize_attributes(
     (vert_attrs[3*t + i] = corner i of triangle t) and no gather is needed.
     """
     t = clip_pos.shape[0]
-    a_dim = vert_attrs.shape[1]
     clip2, bary2, act2 = clip_triangles_near(clip_pos, tri_active)
     t2 = clip2.shape[0]
+    # per-ORIGINAL-corner attrs as three 2D [T2,A] arrays. 3D [T2,3,A]
+    # intermediates pad every A-float row to 128 lanes and relayout
+    # repeatedly (~150 ms at bench scale, devtools/probe_attr_ops.py) —
+    # all ops here stay 2D with ≤1 lane-tile columns.
     if corner_major:
-        corner_attrs = vert_attrs.reshape(t, 3, a_dim)
-        corner_attrs = jnp.concatenate([corner_attrs, corner_attrs], axis=0)
+        a_dim = vert_attrs.shape[1] // 3
+        ca = [
+            jnp.concatenate(
+                [vert_attrs[:, c * a_dim : (c + 1) * a_dim]] * 2, axis=0
+            )
+            for c in range(3)
+        ]
     else:
-        vids2 = jnp.concatenate([tri_indices, tri_indices], axis=0)  # [T2,3]
-        corner_attrs = vert_attrs[vids2]  # [T2,3,A] (3T-row gather)
-    # per-corner attributes of the CLIPPED triangles (bary2-weighted)
-    attr_c = jnp.einsum("tij,tja->tia", bary2, corner_attrs)
-    attr_flat = attr_c.reshape(t2, 3 * a_dim)
+        a_dim = vert_attrs.shape[1]
+        ca = [
+            jnp.concatenate([vert_attrs[tri_indices[:, c]]] * 2, axis=0)
+            for c in range(3)
+        ]
+    # attrs of the CLIPPED corners: attr_i = Σ_j bary2[:,i,j] · corner_j
+    attr_flat = jnp.concatenate(
+        [
+            bary2[:, i, 0:1] * ca[0]
+            + bary2[:, i, 1:2] * ca[1]
+            + bary2[:, i, 2:3] * ca[2]
+            for i in range(3)
+        ],
+        axis=-1,
+    )  # [T2, 3A]
 
     ranges, payload, big_rows, big_mask, n_drop, th, tw = _bin(
         clip2, act2, height, width, tile, k_per_range, big_budget,

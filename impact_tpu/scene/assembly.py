@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from ..math import quaternion as quat
@@ -130,6 +131,42 @@ def ground_plane_geometry(
     )
 
 
+def _corner3(arr_v, tris):
+    """Indexed [V,{3|1}] per-vertex data + [T,3] indices → corner-major
+    [T,9]/[T,3] (gather; used only for SMALL static/instance geometry —
+    voxel meshes carry corner-major data from remesh time)."""
+    parts = [arr_v[tris[:, c]] for c in range(3)]
+    if arr_v.ndim == 1:
+        return jnp.stack(parts, axis=-1)
+    return jnp.concatenate(parts, axis=-1)
+
+
+def static_geometry_corners(sg: StaticGeometry):
+    """StaticGeometry → corner-major field dict (positions world-space)."""
+    t = sg.tri_indices
+    pos = _corner3(sg.vert_pos, t)
+    return dict(
+        tri_pos=pos,
+        tri_pos_prev=pos,
+        tri_normal=_corner3(sg.vert_normal, t),
+        tri_albedo=_corner3(sg.vert_albedo, t),
+        tri_f0=_corner3(sg.vert_f0, t),
+        tri_roughness=_corner3(sg.vert_roughness, t),
+        tri_emissive=_corner3(sg.vert_emissive, t),
+        tri_material=_corner3(sg.vert_material, t),
+        tri_active=sg.tri_active,
+        tri_shadow=jnp.ones_like(sg.tri_active),
+    )
+
+
+def _rotate9(q, pos9):
+    """Rotate corner-major positions [...,9] by quaternions q [...,4]."""
+    return jnp.concatenate(
+        [quat.rotate(q, pos9[..., 3 * c : 3 * c + 3]) for c in range(3)],
+        axis=-1,
+    )
+
+
 def build_render_scene(
     pool: VoxelObjectPool,
     meshes: CompactMesh,  # batched over objects [O, ...]
@@ -142,150 +179,134 @@ def build_render_scene(
     mesh_instances: MeshInstancePool | None = None,
 ) -> RenderScene:
     """Flatten voxel meshes + static geometry + mesh models into one
-    RenderScene."""
-    o, vc, _ = meshes.vert_pos.shape
-    tc = meshes.tri_active.shape[1]
+    corner-major RenderScene — elementwise transforms only, no per-frame
+    triangle-index gathers (the corner layout is built at remesh time)."""
+    o, tc, _ = meshes.tri_pos.shape
 
-    # grid units → body frame
-    local = (
-        meshes.vert_pos * pool.voxel_extent[:, None, None]
-        + pool.origin[:, None, :]
+    # grid units → body frame (corner-major [O,Tc,9])
+    local9 = (
+        meshes.tri_pos * pool.voxel_extent[:, None, None]
+        + jnp.tile(pool.origin, (1, 3))[:, None, :]
     )
     q = body_orientation[pool.body_index][:, None, :]
-    x = body_position[pool.body_index][:, None, :]
+    x = jnp.tile(body_position[pool.body_index], (1, 3))[:, None, :]
     qp = body_orientation_prev[pool.body_index][:, None, :]
-    xp = body_position_prev[pool.body_index][:, None, :]
-    world = quat.rotate(q, local) + x
-    world_prev = quat.rotate(qp, local) + xp
-    normal_world = quat.rotate(q, meshes.vert_normal)
+    xp = jnp.tile(body_position_prev[pool.body_index], (1, 3))[:, None, :]
+    world9 = _rotate9(q, local9) + x
+    world9_prev = _rotate9(qp, local9) + xp
+    normal9 = _rotate9(q, meshes.tri_normal)
 
-    # two-material vertex blend (ref: surface_nets.rs ≤7-material weights —
+    # two-material corner blend (ref: surface_nets.rs ≤7-material weights —
     # a boundary cell carries its top-2 types; interpolation across the
     # triangle smooths the transition per pixel)
-    a1, f1, r1, e1 = material_params_for_types(registry, meshes.vert_type)
-    a2, f2, r2, e2 = material_params_for_types(registry, meshes.vert_type2)
-    b = meshes.vert_blend[..., None]
-    albedo = a1 * (1 - b) + a2 * b
-    f0 = f1 * (1 - b) + f2 * b
-    roughness = r1 * (1 - b[..., 0]) + r2 * b[..., 0]
-    emissive = e1 * (1 - b) + e2 * b
+    albedo_c, f0_c, rough_c, emis_c = [], [], [], []
+    for c in range(3):
+        a1, f1, r1, e1 = material_params_for_types(registry, meshes.tri_type[..., c])
+        a2, f2, r2, e2 = material_params_for_types(registry, meshes.tri_type2[..., c])
+        b = meshes.tri_blend[..., c : c + 1]
+        albedo_c.append(a1 * (1 - b) + a2 * b)
+        f0_c.append(f1 * (1 - b) + f2 * b)
+        rough_c.append(r1 * (1 - b[..., 0]) + r2 * b[..., 0])
+        emis_c.append(e1 * (1 - b) + e2 * b)
+    albedo9 = jnp.concatenate(albedo_c, axis=-1)
+    f09 = jnp.concatenate(f0_c, axis=-1)
+    rough3 = jnp.stack(rough_c, axis=-1)
+    emis9 = jnp.concatenate(emis_c, axis=-1)
 
-    vert_ok = meshes.vert_active & pool.alive[:, None]
     tri_ok = meshes.tri_active & pool.alive[:, None]
+    mat3 = jnp.where(tri_ok[..., None], meshes.tri_type, -1)
 
-    # flatten with per-object vertex offsets
-    offs = (jnp.arange(o, dtype=jnp.int32) * vc)[:, None, None]
-    tri_idx_flat = (meshes.tri_indices + offs).reshape(o * tc, 3)
-
-    vs = static_geometry.vert_pos.shape[0]
-    base = o * vc
-    scene = RenderScene(
-        vert_pos=jnp.concatenate([world.reshape(-1, 3), static_geometry.vert_pos]),
-        vert_pos_prev=jnp.concatenate(
-            [world_prev.reshape(-1, 3), static_geometry.vert_pos]
-        ),
-        vert_normal=jnp.concatenate(
-            [normal_world.reshape(-1, 3), static_geometry.vert_normal]
-        ),
-        vert_albedo=jnp.concatenate(
-            [albedo.reshape(-1, 3), static_geometry.vert_albedo]
-        ),
-        vert_f0=jnp.concatenate([f0.reshape(-1, 3), static_geometry.vert_f0]),
-        vert_roughness=jnp.concatenate(
-            [roughness.reshape(-1), static_geometry.vert_roughness]
-        ),
-        vert_emissive=jnp.concatenate(
-            [emissive.reshape(-1, 3), static_geometry.vert_emissive]
-        ),
-        vert_material=jnp.concatenate(
-            [
-                jnp.where(
-                    (meshes.vert_active & pool.alive[:, None]).reshape(-1),
-                    meshes.vert_type.reshape(-1),
-                    -1,
-                ),
-                static_geometry.vert_material,
-            ]
-        ),
-        tri_indices=jnp.concatenate(
-            [tri_idx_flat, static_geometry.tri_indices + base]
-        ),
-        tri_active=jnp.concatenate(
-            [tri_ok.reshape(-1), static_geometry.tri_active]
-        ),
-        tri_shadow=jnp.concatenate(
-            [
-                (tri_ok & pool.casts_shadows[:, None]).reshape(-1),
-                jnp.ones_like(static_geometry.tri_active),
-            ]
-        ),
-    )
+    parts = [dict(
+        tri_pos=world9.reshape(-1, 9),
+        tri_pos_prev=world9_prev.reshape(-1, 9),
+        tri_normal=normal9.reshape(-1, 9),
+        tri_albedo=albedo9.reshape(-1, 9),
+        tri_f0=f09.reshape(-1, 9),
+        tri_roughness=rough3.reshape(-1, 3),
+        tri_emissive=emis9.reshape(-1, 9),
+        tri_material=mat3.reshape(-1, 3),
+        tri_active=tri_ok.reshape(-1),
+        tri_shadow=(tri_ok & pool.casts_shadows[:, None]).reshape(-1),
+    )]
+    if static_geometry.tri_active.shape[0] > 0:
+        parts.append(static_geometry_corners(static_geometry))
     if mesh_instances is not None and mesh_instances.alive.shape[0] > 0:
-        scene = _append_mesh_instances(
-            scene, mesh_instances,
+        parts.append(_mesh_instance_corners(
+            mesh_instances,
             body_position, body_orientation,
             body_position_prev, body_orientation_prev,
-        )
-    return scene
+        ))
+    fields = {
+        k: jnp.concatenate([p[k] for p in parts])
+        for k in parts[0]
+    }
+    return RenderScene(**fields)
 
 
-def _append_mesh_instances(
-    scene: RenderScene,
+def _mesh_instance_corners(
     mi: MeshInstancePool,
     body_position, body_orientation,
     body_position_prev, body_orientation_prev,
-) -> RenderScene:
-    """Pose mesh-model instances and append them to the flat RenderScene
+):
+    """Pose mesh-model instances and emit corner-major fields
     (ref: impact_model/src/transform.rs InstanceModelViewTransformWithPrevious
-    — current + previous pose for motion vectors)."""
+    — current + previous pose for motion vectors). Pools are small, so the
+    corner gather here is cheap."""
     m, vm, _ = mi.vert_pos.shape
     tm = mi.tri_active.shape[1]
     use_body = (mi.body_index >= 0)[:, None]
     bi = jnp.maximum(mi.body_index, 0)
     q = jnp.where(use_body, body_orientation[bi], mi.orientation)[:, None, :]
-    x = jnp.where(use_body, body_position[bi], mi.position)[:, None, :]
+    x = jnp.where(use_body, body_position[bi], mi.position)
     qp = jnp.where(use_body, body_orientation_prev[bi], mi.orientation)[:, None, :]
-    xp = jnp.where(use_body, body_position_prev[bi], mi.position)[:, None, :]
-    world = quat.rotate(q, mi.vert_pos) + x
-    world_prev = quat.rotate(qp, mi.vert_pos) + xp
-    normal_world = quat.rotate(q, mi.vert_normal)
+    xp = jnp.where(use_body, body_position_prev[bi], mi.position)
 
-    vert_ok = mi.vert_active & mi.alive[:, None]
+    local9 = jax.vmap(_corner3)(mi.vert_pos, mi.tri_indices)  # [M,Tm,9]
+    nrm9 = jax.vmap(_corner3)(mi.vert_normal, mi.tri_indices)
+    world9 = _rotate9(q, local9) + jnp.tile(x, (1, 3))[:, None, :]
+    world9_prev = _rotate9(qp, local9) + jnp.tile(xp, (1, 3))[:, None, :]
+    normal9 = _rotate9(q, nrm9)
+
     tri_ok = mi.tri_active & mi.alive[:, None]
-    base = scene.vert_pos.shape[0]
-    offs = base + (jnp.arange(m, dtype=jnp.int32) * vm)[:, None, None]
-    tri_idx_flat = (mi.tri_indices + offs).reshape(m * tm, 3)
 
-    def per_vert(a):  # [M,3] or [M] -> flat per-vertex
-        if a.ndim == 1:
-            return jnp.broadcast_to(a[:, None], (m, vm)).reshape(-1)
-        return jnp.broadcast_to(a[:, None, :], (m, vm, a.shape[1])).reshape(-1, a.shape[1])
+    def per_tri9(a):  # [M,3] uniform → [M*Tm, 9]
+        return jnp.broadcast_to(
+            jnp.tile(a, (1, 3))[:, None, :], (m, tm, 9)
+        ).reshape(-1, 9)
 
+    return dict(
+        tri_pos=world9.reshape(-1, 9),
+        tri_pos_prev=world9_prev.reshape(-1, 9),
+        tri_normal=normal9.reshape(-1, 9),
+        tri_albedo=per_tri9(mi.albedo),
+        tri_f0=per_tri9(mi.f0),
+        tri_roughness=jnp.broadcast_to(
+            mi.roughness[:, None, None], (m, tm, 3)
+        ).reshape(-1, 3),
+        tri_emissive=per_tri9(mi.emissive),
+        tri_material=jnp.full((m * tm, 3), -1, jnp.int32),
+        tri_active=tri_ok.reshape(-1),
+        tri_shadow=(tri_ok & mi.casts_shadows[:, None]).reshape(-1),
+    )
+
+
+def render_scene_from_indexed(
+    vert_pos, vert_normal, vert_albedo, vert_f0, vert_roughness,
+    vert_emissive, vert_material, tri_indices, tri_active, tri_shadow=None,
+) -> RenderScene:
+    """Build a corner-major RenderScene from classic indexed geometry
+    (one-off/offline paths like the voxel_generator preview)."""
+    t = tri_indices
+    pos = _corner3(vert_pos, t)
     return RenderScene(
-        vert_pos=jnp.concatenate([scene.vert_pos, world.reshape(-1, 3)]),
-        vert_pos_prev=jnp.concatenate(
-            [scene.vert_pos_prev, world_prev.reshape(-1, 3)]
-        ),
-        vert_normal=jnp.concatenate(
-            [scene.vert_normal, normal_world.reshape(-1, 3)]
-        ),
-        vert_albedo=jnp.concatenate([scene.vert_albedo, per_vert(mi.albedo)]),
-        vert_f0=jnp.concatenate([scene.vert_f0, per_vert(mi.f0)]),
-        vert_roughness=jnp.concatenate(
-            [scene.vert_roughness, per_vert(mi.roughness)]
-        ),
-        vert_emissive=jnp.concatenate(
-            [scene.vert_emissive, per_vert(mi.emissive)]
-        ),
-        vert_material=jnp.concatenate(
-            [scene.vert_material, jnp.full((m * vm,), -1, jnp.int32)]
-        ),
-        tri_indices=jnp.concatenate([scene.tri_indices, tri_idx_flat]),
-        tri_active=jnp.concatenate([scene.tri_active, tri_ok.reshape(-1)]),
-        tri_shadow=jnp.concatenate(
-            [
-                scene.tri_shadow,
-                (tri_ok & mi.casts_shadows[:, None]).reshape(-1),
-            ]
-        ),
+        tri_pos=pos,
+        tri_pos_prev=pos,
+        tri_normal=_corner3(vert_normal, t),
+        tri_albedo=_corner3(vert_albedo, t),
+        tri_f0=_corner3(vert_f0, t),
+        tri_roughness=_corner3(vert_roughness, t),
+        tri_emissive=_corner3(vert_emissive, t),
+        tri_material=_corner3(vert_material, t),
+        tri_active=tri_active,
+        tri_shadow=tri_active if tri_shadow is None else tri_shadow,
     )

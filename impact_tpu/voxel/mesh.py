@@ -228,6 +228,16 @@ class CompactMesh(NamedTuple):
     vert_blend: jnp.ndarray  # f32[Vc]
     tri_active: jnp.ndarray  # bool[Tc]
     tri_indices: jnp.ndarray  # i32[Tc,3] into the compacted vertex slots
+    # corner-major render layout, built once per remesh so the per-frame
+    # render path never gathers by triangle index (TPU gathers cost tens of
+    # ns per ROW — a [T,3]-indexed gather at bench scale measured ~150 ms
+    # per frame, devtools/probe_attr_ops.py). Layout: [:, 3c:3c+3] (or
+    # [:, c]) is corner c of the triangle.
+    tri_pos: jnp.ndarray  # f32[Tc,9] grid units
+    tri_normal: jnp.ndarray  # f32[Tc,9]
+    tri_type: jnp.ndarray  # i32[Tc,3]
+    tri_type2: jnp.ndarray  # i32[Tc,3]
+    tri_blend: jnp.ndarray  # f32[Tc,3]
 
 
 def compact_mesh(mesh: SurfaceNetsMesh, vert_cap: int, tri_cap: int) -> CompactMesh:
@@ -253,15 +263,29 @@ def compact_mesh(mesh: SurfaceNetsMesh, vert_cap: int, tri_cap: int) -> CompactM
     tact = tact & jnp.all(tidx < vert_cap, axis=-1)
     tidx = jnp.clip(tidx, 0, vert_cap - 1)
 
+    vpos = mesh.vert_pos[vsel]
+    vnrm = mesh.vert_normal[vsel]
+    vtype = mesh.vert_type[vsel]
+    vtype2 = mesh.vert_type2[vsel]
+    vblend = mesh.vert_blend[vsel]
+
+    # corner-major gathers (amortized: compact_mesh runs per REMESH of a
+    # budgeted object subset, not per frame)
+    c0, c1, c2 = tidx[:, 0], tidx[:, 1], tidx[:, 2]
     return CompactMesh(
         vert_active=vact,
-        vert_pos=mesh.vert_pos[vsel],
-        vert_normal=mesh.vert_normal[vsel],
-        vert_type=mesh.vert_type[vsel],
-        vert_type2=mesh.vert_type2[vsel],
-        vert_blend=mesh.vert_blend[vsel],
+        vert_pos=vpos,
+        vert_normal=vnrm,
+        vert_type=vtype,
+        vert_type2=vtype2,
+        vert_blend=vblend,
         tri_active=tact,
         tri_indices=tidx,
+        tri_pos=jnp.concatenate([vpos[c0], vpos[c1], vpos[c2]], axis=-1),
+        tri_normal=jnp.concatenate([vnrm[c0], vnrm[c1], vnrm[c2]], axis=-1),
+        tri_type=jnp.stack([vtype[c0], vtype[c1], vtype[c2]], axis=-1),
+        tri_type2=jnp.stack([vtype2[c0], vtype2[c1], vtype2[c2]], axis=-1),
+        tri_blend=jnp.stack([vblend[c0], vblend[c1], vblend[c2]], axis=-1),
     )
 
 
