@@ -99,6 +99,8 @@ def main() -> dict:
 
     n_active = int(np.sum(np.asarray(nonempty_counts(rt.sim.voxels))))
     _log(f"{n_active} active voxels")
+    dv, dt_drop = rt.dropped_mesh_elements()
+    _log(f"mesh compaction drops: {dv} verts, {dt_drop} tris (must be 0)")
 
     # warm up (compile step + all render stages)
     t0 = time.perf_counter()

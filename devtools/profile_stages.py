@@ -15,15 +15,23 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 
+def _fetch(out):
+    """True synchronization: under the axon tunnel block_until_ready does not
+    block — only a host fetch does."""
+    leaf = jax.tree.leaves(out)[0]
+    np.asarray(jax.jit(lambda x: jnp.sum(x.astype(jnp.float32)))(leaf))
+
+
 def timeit(fn, n=5):
-    fn()  # warm
+    _fetch(fn())  # warm
     t0 = time.perf_counter()
     for _ in range(n):
         out = fn()
-    jax.block_until_ready(out)
+    _fetch(out)
     return (time.perf_counter() - t0) / n * 1e3
 
 

@@ -34,6 +34,10 @@ from .state import BodyState, compute_velocities, synchronize_momenta, world_inv
 NORMAL_SPEED_FOR_BOUNCE = 0.4  # ref: contact.rs:236
 SQUARED_SLIP_SPEED_FOR_DYNAMIC_FRICTION = 1e-4  # ref: contact.rs:238
 WARM_START_DIRECTION_THRESHOLD = 1e-2  # ref: contact.rs:318
+# jacobi accumulation strategy switch: below this body count the one-hot
+# [C,N] matmul is an MXU-microsecond op; at/above it the sorted segment-sum
+# path keeps memory O(C) (the pod config has ~100k bodies)
+SEGMENT_ACCUMULATION_MIN_BODIES = 128
 
 
 class SolverCache(NamedTuple):
@@ -291,29 +295,62 @@ def solve_contacts(
             0, config.n_iterations, iteration, (v, w, acc)
         )
     else:  # jacobi
-        # contact→body accumulation as one-hot matmuls: TPU scatters serialize
-        # (each .at[].add over [C]→[N] costs ~ms), while [C,N]×[C,3]
-        # contractions ride the MXU in microseconds. The one-hot incidence
-        # matrices are built once per solve.
-        body_ids = jnp.arange(bodies.n, dtype=ia.dtype)
-        oh_a = ((ia[:, None] == body_ids[None, :]) & act[:, None]).astype(
-            jnp.float32
-        )  # [C,N]
-        oh_b = ((ib[:, None] == body_ids[None, :]) & act[:, None]).astype(
-            jnp.float32
-        )
-
-        def accumulate(dp):
-            """[C,3] world momentum changes → (dv [N,3], dw [N,3])."""
-            lin = jnp.einsum("cn,ck->nk", oh_a, dp) - jnp.einsum(
-                "cn,ck->nk", oh_b, dp
+        n = bodies.n
+        if n < SEGMENT_ACCUMULATION_MIN_BODIES:
+            # contact→body accumulation as one-hot matmuls: TPU scatters
+            # serialize (each .at[].add over [C]→[N] costs ~ms), while
+            # [C,N]×[C,3] contractions ride the MXU in microseconds. The
+            # one-hot incidence matrices are built once per solve.
+            body_ids = jnp.arange(n, dtype=ia.dtype)
+            oh_a = ((ia[:, None] == body_ids[None, :]) & act[:, None]).astype(
+                jnp.float32
+            )  # [C,N]
+            oh_b = ((ib[:, None] == body_ids[None, :]) & act[:, None]).astype(
+                jnp.float32
             )
-            ang = jnp.einsum(
-                "cn,ck->nk", oh_a, jnp.cross(prep.disp_a, dp)
-            ) - jnp.einsum("cn,ck->nk", oh_b, jnp.cross(prep.disp_b, dp))
-            dv = inv_mass[:, None] * lin
-            dw = jnp.einsum("nij,nj->ni", inv_inertia, ang)
-            return dv, dw
+
+            def accumulate(dp):
+                """[C,3] world momentum changes → (dv [N,3], dw [N,3])."""
+                lin = jnp.einsum("cn,ck->nk", oh_a, dp) - jnp.einsum(
+                    "cn,ck->nk", oh_b, dp
+                )
+                ang = jnp.einsum(
+                    "cn,ck->nk", oh_a, jnp.cross(prep.disp_a, dp)
+                ) - jnp.einsum("cn,ck->nk", oh_b, jnp.cross(prep.disp_b, dp))
+                dv = inv_mass[:, None] * lin
+                dw = jnp.einsum("nij,nj->ni", inv_inertia, ang)
+                return dv, dw
+        else:
+            # pod-scale accumulation: the [C,N] incidence would be ~10⁹
+            # elements at 100k bodies, so contacts are split into 2C sided
+            # (body, ±Δp) entries sorted by body ONCE per solve, and every
+            # iteration reduces with prefix-sum + per-body boundary
+            # differences — O(C) work/memory, deterministic, no scatter.
+            sentinel = jnp.asarray(n, ia.dtype)
+            sid = jnp.concatenate(
+                [jnp.where(act, ia, sentinel), jnp.where(act, ib, sentinel)]
+            )
+            order = jnp.argsort(sid)
+            sid_sorted = sid[order]
+            body_ids = jnp.arange(n, dtype=sid.dtype)
+            seg_start = jnp.searchsorted(sid_sorted, body_ids, side="left")
+            seg_end = jnp.searchsorted(sid_sorted, body_ids, side="right")
+
+            def accumulate(dp):
+                """[C,3] world momentum changes → (dv [N,3], dw [N,3])."""
+                vals = jnp.concatenate(
+                    [
+                        jnp.concatenate([dp, jnp.cross(prep.disp_a, dp)], -1),
+                        -jnp.concatenate([dp, jnp.cross(prep.disp_b, dp)], -1),
+                    ]
+                )[order]  # [2C,6] sorted by body
+                csum = jnp.concatenate(
+                    [jnp.zeros((1, 6), vals.dtype), jnp.cumsum(vals, axis=0)]
+                )
+                seg = csum[seg_end] - csum[seg_start]  # [N,6]
+                dv = inv_mass[:, None] * seg[:, :3]
+                dw = jnp.einsum("nij,nj->ni", inv_inertia, seg[:, 3:])
+                return dv, dw
 
         def iteration(_, state):
             v, w, acc = state

@@ -95,6 +95,7 @@ def ambient_occlusion(
     occluder_buf = jnp.where(valid[..., None], view_pos, far)
 
     bias = 1e-4 * z  # biasDistance (z is negative)
+    occluder_flat = occluder_buf.reshape(h * w, 3)
     total = jnp.zeros((h, w), jnp.float32)
     for si in range(sample_count):
         ox = offs[si, 0] * c - offs[si, 1] * sn
@@ -106,7 +107,7 @@ def ambient_occlusion(
         v = 0.5 * h - sy * fpx * inv_neg_z
         ui = jnp.clip(u.astype(jnp.int32), 0, w - 1)
         vi = jnp.clip(v.astype(jnp.int32), 0, h - 1)
-        occluder = occluder_buf[vi, ui]  # [H,W,3]
+        occluder = occluder_flat[(vi * w + ui).reshape(-1)].reshape(h, w, 3)
         d = occluder - view_pos
         d_n = jnp.sum(d * view_normal, axis=-1)
         d2 = jnp.sum(d * d, axis=-1)
@@ -138,7 +139,10 @@ def temporal_anti_aliasing(
     v = jnp.arange(h)[:, None] + motion[..., 1] * h
     ui = jnp.clip(jnp.round(u).astype(jnp.int32), 0, w - 1)
     vi = jnp.clip(jnp.round(v).astype(jnp.int32), 0, h - 1)
-    hist = history[vi, ui]
+    # flat 1D-index gather: ~30% cheaper than the [vi,ui] 2D form on TPU
+    hist = history.reshape(h * w, 3)[(vi * w + ui).reshape(-1)].reshape(
+        h, w, 3
+    )
 
     # 3×3 neighborhood statistics of the current frame
     pads = jnp.pad(current, ((1, 1), (1, 1), (0, 0)), mode="edge")
@@ -188,20 +192,39 @@ def _frac_shift(img, d, axis):
     return a * (1.0 - f) + _int_shift(img, lo + 1, axis) * f
 
 
-def _downsample13(img):
-    """The reference's 13-tap downsampling filter
-    (bloom_downsampling.template.wgsl): output texel centers land between
-    input texels, so each bilinear tap is a 2x2 input average at an integer
-    shift; groups weighted 0.125*(e+j+k+l+m)+0.0625*(b+d+f+h)+0.03125*corners.
-    """
-    def A(dx, dy):
-        return _avg2x2(_int_shift(_int_shift(img, -dx, 1), -dy, 0))
+# the 13-tap bloom downsample (bloom_downsampling.template.wgsl) is linear and
+# shift-invariant on the 2x grid: each bilinear tap is a 2x2 average at an
+# integer offset, so the whole filter collapses to ONE 6x6 stride-2 kernel
+# (derived by impulse response from the tap formulation; rows sum to 1).
+# As 13 pad/shift/strided-reshape averages it measured 63 ms @1080p on the
+# v5e (devtools/probe_image_ops.py) — as a conv it rides the conv units.
+_DOWN13_KERNEL = np.array(
+    [
+        [1, 1, 2, 2, 1, 1],
+        [1, 5, 6, 6, 5, 1],
+        [2, 6, 8, 8, 6, 2],
+        [2, 6, 8, 8, 6, 2],
+        [1, 5, 6, 6, 5, 1],
+        [1, 1, 2, 2, 1, 1],
+    ],
+    np.float32,
+) / 128.0
 
-    return (
-        0.125 * (A(0, 0) + A(-1, -1) + A(1, -1) + A(-1, 1) + A(1, 1))
-        + 0.0625 * (A(0, -2) + A(-2, 0) + A(2, 0) + A(0, 2))
-        + 0.03125 * (A(-2, -2) + A(2, -2) + A(-2, 2) + A(2, 2))
+
+def _downsample13(img):
+    """The reference's 13-tap downsampling filter as a 6x6 stride-2 conv
+    (exact on even extents; odd extents differ from the tap-sequence form
+    only in the final edge-clamped output row/column)."""
+    h, w, c = img.shape
+    if h % 2 or w % 2:
+        img = jnp.pad(img, ((0, h % 2), (0, w % 2), (0, 0)), mode="edge")
+    p = jnp.pad(img, ((2, 2), (2, 2), (0, 0)), mode="edge")
+    x = jnp.transpose(p, (2, 0, 1))[:, None]  # channels as conv batch
+    k = jnp.asarray(_DOWN13_KERNEL)[None, None]
+    y = jax.lax.conv_general_dilated(
+        x, k, (2, 2), "VALID", dimension_numbers=("NCHW", "OIHW", "NCHW")
     )
+    return jnp.transpose(y[:, 0], (1, 2, 0))
 
 
 def _tent_blur(img, r):

@@ -6,7 +6,9 @@ render_command.rs:222-432); the TPU-native design is a screen-tile kernel:
 
   prologue (XLA):  near-clip -> screen-plane coefficients per triangle ->
                    bin each triangle to the TOP-LEFT tile of its bbox -> ONE
-                   narrow sort by (tile, depth) -> per-tile row ranges
+                   1-operand sort of packed (tile << id_bits | slot) keys ->
+                   per-tile row ranges (a PARTITION by tile: the kernel keeps
+                   a running z-min, so in-tile candidate order is irrelevant)
   kernel (Pallas): per 16x16 tile, DMA the candidate payloads of the 2x2
                    tile neighborhood (two contiguous, 128-aligned column
                    ranges of a LANE-MAJOR [rows, P] payload), evaluate
@@ -16,11 +18,9 @@ render_command.rs:222-432); the TPU-native design is a screen-tile kernel:
                    interpolate attributes in-register.
 
 Measured design rules (v5e, devtools/ benches):
-  - lax.sort is cheap when narrow (2-op 512k ~ 0.7 ms, 17-op ~ 3 ms); XLA row
-    gathers cost ~10 ns/row. The depth path carries its whole 12-row payload
-    THROUGH the sort and stacks it directly into the lane-major layout (no
-    gather at all); the attribute path sorts (key, id) and pays one row
-    gather + transpose.
+  - lax.sort cost scales with operand count; XLA row gathers cost ~10 ns/row
+    regardless of row WIDTH. Both paths therefore sort ONE packed u32 key and
+    pay a single row gather + transpose for the payload.
   - Candidates live on LANES: one [S^2, 128] VPU op evaluates a whole
     candidate block against every pixel — per-candidate column extraction
     (the v1 sublane layout) was ~20x slower than the arithmetic.
@@ -56,8 +56,6 @@ from .raster import _edge, _screen_coords, clip_triangles_near
 #   12:12+3A  per-corner attributes (attribute kernel only)
 GEOM_ROWS = 12
 _INF = np.float32(3.0e38)
-_ZKEY_BITS = 14
-_ZKEY_SCALE = float((1 << _ZKEY_BITS) - 2)
 _LANES = 128
 
 
@@ -134,10 +132,6 @@ def _bin(
     big = act & ~small
 
     btile = jnp.where(small, ty0 * tw + tx0, n_tiles)
-    zq = jnp.clip(near_z, 0.0, 1.0)
-    zq = jnp.where(small, (zq * _ZKEY_SCALE).astype(jnp.int32),
-                   (1 << _ZKEY_BITS) - 1)
-    key = (btile * (1 << _ZKEY_BITS) + zq)[:n_first]
 
     na = attr_corners.shape[1] if attr_corners is not None else 0
     rows_total = GEOM_ROWS + na
@@ -147,32 +141,32 @@ def _bin(
     k_eff = (1 + -(-k_per_range // _LANES)) * _LANES
     p_pad = -(-(n_first + k_eff) // _LANES) * _LANES
 
+    # binning is a PARTITION by tile, not an ordering: the kernel keeps a
+    # running (z, index) min, so candidate order within a tile is irrelevant.
+    # Pack (tile, slot-id) into ONE u32 sort key — a 1-operand sort plus one
+    # row gather beats carrying the payload rows through the sort.
+    id_bits = max(1, (n_first - 1).bit_length())
+    assert (n_tiles + 1) <= (1 << (32 - id_bits)), (
+        f"packed sort key overflow: {n_tiles} tiles x {n_first} slots"
+    )
+    packed = (
+        btile[:n_first].astype(jnp.uint32) << id_bits
+    ) | jnp.arange(n_first, dtype=jnp.uint32)
+    (key_s,) = jax.lax.sort((packed,), num_keys=1)
+    tile_s = (key_s >> id_bits).astype(jnp.int32)
+    order = (key_s & ((1 << id_bits) - 1)).astype(jnp.int32)
     if attr_corners is None:
-        # depth path: carry the 12 geometry rows through the sort and stack
-        # them straight into the lane-major layout — zero gathers
-        sorted_ops = jax.lax.sort(
-            (key, *[g[:n_first] for g in geom]), num_keys=1
-        )
-        key_s = sorted_ops[0]
-        payload = jnp.stack(sorted_ops[1:], axis=0)  # [12, n_first]
-        payload = jnp.pad(
-            payload, ((0, rows_pad - GEOM_ROWS), (0, p_pad - n_first))
-        )
-        payload = payload.at[2, n_first:].set(-1.0)
+        full = jnp.stack(geom, axis=-1)  # [T2, 12]
     else:
-        key_s, order = jax.lax.sort(
-            (key, jnp.arange(n_first, dtype=jnp.int32)), num_keys=1
-        )
         full = jnp.concatenate(
             [jnp.stack(geom, axis=-1), attr_corners], axis=-1
         )  # [T2, R]
-        payload = full[order].T  # ONE row gather + transpose
-        payload = jnp.pad(
-            payload, ((0, rows_pad - rows_total), (0, p_pad - n_first))
-        )
-        payload = payload.at[2, n_first:].set(-1.0)
+    payload = full[order].T  # ONE row gather + transpose
+    payload = jnp.pad(
+        payload, ((0, rows_pad - rows_total), (0, p_pad - n_first))
+    )
+    payload = payload.at[2, n_first:].set(-1.0)
 
-    tile_s = key_s // (1 << _ZKEY_BITS)
     bounds = jnp.searchsorted(
         tile_s, jnp.arange(n_tiles + 1, dtype=jnp.int32)
     ).astype(jnp.int32)
@@ -193,10 +187,11 @@ def _bin(
     counts2 = jnp.minimum(r_len, k_per_range)
     n_drop = jnp.sum(r_len - counts2)
 
-    # big block: 128 lanes, nearest-first
+    # big block: 128 lanes, nearest-first (top_k, not a full argsort)
     nb = int(min(big_budget, _LANES, t2))
     big_key = jnp.where(big, near_z, jnp.inf)
-    big_order = jnp.argsort(big_key)[:nb].astype(jnp.int32)
+    _, big_order = jax.lax.top_k(-big_key, nb)
+    big_order = big_order.astype(jnp.int32)
     big_sel = big[big_order]
     if attr_corners is None:
         big_rows = jnp.stack([g[big_order] for g in geom], axis=0)  # [12,nb]

@@ -46,7 +46,7 @@ from ..scene.assembly import (
     empty_static_geometry,
     ground_plane_geometry,
 )
-from ..scene.materials import VoxelTypeRegistry, default_registry, material_params_for_types
+from ..scene.materials import VoxelTypeRegistry, default_registry
 from ..utils.config import EngineConfig
 from ..voxel import sdf as sdflib
 from ..voxel.collision import extract_probes, merge_contact_buffers, voxel_contacts
@@ -58,7 +58,12 @@ from ..voxel.interaction import (
     fracture_object,
     split_off_disconnected_region,
 )
-from ..voxel.mesh import CompactMesh, compact_mesh_batched, surface_nets_batched
+from ..voxel.mesh import (
+    CompactMesh,
+    bake_mesh_materials,
+    compact_mesh_batched,
+    surface_nets_batched,
+)
 from ..voxel.object import VoxelObjectPool, empty_voxel_object_pool, generate_sdf_grid
 
 
@@ -115,6 +120,7 @@ class EngineParams(NamedTuple):
     dist_rules: DistanceRulePools
     casts_shadows_base: jnp.ndarray  # bool[O] scene-flag shadow casting
     mesh_instances: MeshInstancePool  # renderable mesh-model entities
+    material_table: jnp.ndarray  # f32[T,10] packed voxel-type materials
 
 
 def gather_objects(pool: VoxelObjectPool, idx) -> VoxelObjectPool:
@@ -230,7 +236,22 @@ def make_engine_step(
     solver_mode = config.tpu.solver_mode
     o_max = config.tpu.max_voxel_objects
     if remesh_budget is None:
-        remesh_budget = min(o_max, 4)
+        # a fracture event dirties up to max_fracture_fragments ×
+        # max_fracture_events objects in one step; meshing them the step they
+        # appear keeps their cached collision probes fresh (VERDICT-r2 item 5
+        # — fragments colliding with stale probes). Without fracturing only
+        # splits/absorption dirty objects, a trickle.
+        if enable_fracturing:
+            remesh_budget = min(
+                o_max,
+                max(
+                    4,
+                    config.tpu.max_fracture_fragments
+                    * config.tpu.max_fracture_events,
+                ),
+            )
+        else:
+            remesh_budget = min(o_max, 4)
 
     # scenes without absorbers skip the O(O·G³) absorption pass entirely
     # (static decision — the absorber pools are scene constants)
@@ -347,6 +368,7 @@ def make_engine_step(
                 sdf_world(sub2.sdf, sub2.voxel_extent), sub2.vtype
             )
             sub_mesh = compact_mesh_batched(full, mesh_vert_cap, mesh_tri_cap)
+            sub_mesh = bake_mesh_materials(sub_mesh, params.material_table)
             meshes2 = jax.tree.map(
                 lambda old, new: old.at[order].set(
                     jnp.where(

@@ -41,6 +41,18 @@ class HeadlessRuntime:
         self.sim = build.sim
         self._initial_sim = build.sim  # for reset_world (ref: ResetWorld command)
         self.params = build.params
+        if registry is not None:
+            # custom registry: rebake the scene's material table + meshes
+            # (compile_scene baked with the registry IT was given)
+            from ..scene.materials import material_corner_table
+            from ..voxel.mesh import bake_mesh_materials
+
+            table = material_corner_table(registry)
+            self.params = self.params._replace(material_table=table)
+            self.sim = self.sim._replace(
+                meshes=bake_mesh_materials(self.sim.meshes, table)
+            )
+            self._initial_sim = self.sim
         self.info = build.info
         self.metrics = EngineMetrics()
         self.timer = TaskTimer()
@@ -101,7 +113,7 @@ class HeadlessRuntime:
         # optimization passes balloon).
         def scene_of(sim):
             scene = build_render_scene(
-                sim.voxels, sim.meshes, registry_,
+                sim.voxels, sim.meshes,
                 sim.phys.bodies.position, sim.phys.bodies.orientation,
                 sim.prev_position, sim.prev_orientation,
                 params.static_geometry,
@@ -221,6 +233,18 @@ class HeadlessRuntime:
                 self.sim = self._step(self.sim, self.params)
             jax.block_until_ready(self.sim)
         return self.sim
+
+    def dropped_mesh_elements(self):
+        """(dropped_verts, dropped_tris) summed over objects — active mesh
+        elements that overflowed the fixed compaction caps ("no silent caps":
+        callers log/assert this; nonzero means mesh_vert_cap/mesh_tri_cap are
+        undersized for the scene's surfaces)."""
+        import numpy as np
+
+        return (
+            int(np.asarray(jnp.sum(self.sim.meshes.n_dropped_verts))),
+            int(np.asarray(jnp.sum(self.sim.meshes.n_dropped_tris))),
+        )
 
     def render(self):
         """Render the current state → u8 image [H,W,3]."""

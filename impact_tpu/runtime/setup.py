@@ -29,7 +29,11 @@ from ..physics.forces import apply_forces_and_torques, empty_force_pools
 from ..physics.solver import empty_joint_pools
 from ..render import Camera, empty_light_pools, look_at
 from ..scene.assembly import empty_static_geometry
-from ..scene.materials import VoxelTypeRegistry, default_registry
+from ..scene.materials import (
+    VoxelTypeRegistry,
+    default_registry,
+    material_corner_table,
+)
 from ..utils.config import EngineConfig
 from ..voxel import sdf as sdflib
 from ..voxel.interaction import empty_absorber_pools
@@ -938,6 +942,7 @@ def _compile_scene_impl(
         dist_rules=dist_rules,
         casts_shadows_base=jnp.asarray(casts_shadows_base),
         mesh_instances=mesh_instances,
+        material_table=material_corner_table(registry),
     )
 
     # initial meshes + voxel body sync (reuse the engine's sync helper)
@@ -960,9 +965,12 @@ def _compile_scene_impl(
         )
     )
     full = surface_nets_batched(_sdf_world(pool.sdf, pool.voxel_extent), pool.vtype)
-    mesh_vert_cap = min(4096, (g - 1) ** 3)
-    mesh_tri_cap = min(8192, 6 * (g - 1) ** 3)
+    mesh_vert_cap = config.tpu.mesh_vert_cap or min(4096, (g - 1) ** 3)
+    mesh_tri_cap = config.tpu.mesh_tri_cap or min(8192, 6 * (g - 1) ** 3)
     meshes = compact_mesh_batched(full, mesh_vert_cap, mesh_tri_cap)
+    from ..voxel.mesh import bake_mesh_materials
+
+    meshes = bake_mesh_materials(meshes, params.material_table)
     pool = pool._replace(mesh_dirty=jnp.zeros_like(pool.mesh_dirty))
 
     from ..render.pipeline import RenderConfig, init_render_state

@@ -20,7 +20,7 @@ from ..math import quaternion as quat
 from ..render.pipeline import RenderScene
 from ..voxel.mesh import CompactMesh
 from ..voxel.object import VoxelObjectPool
-from .materials import VoxelTypeRegistry, material_params_for_types
+from .materials import VoxelTypeRegistry  # noqa: F401 (re-export for callers)
 
 
 class StaticGeometry(NamedTuple):
@@ -169,8 +169,7 @@ def _rotate9(q, pos9):
 
 def build_render_scene(
     pool: VoxelObjectPool,
-    meshes: CompactMesh,  # batched over objects [O, ...]
-    registry: VoxelTypeRegistry,
+    meshes: CompactMesh,  # batched over objects [O, ...] (materials baked)
     body_position,  # f32[N,3] current
     body_orientation,  # f32[N,4]
     body_position_prev,  # f32[N,3] previous frame (motion vectors)
@@ -196,22 +195,13 @@ def build_render_scene(
     world9_prev = _rotate9(qp, local9) + xp
     normal9 = _rotate9(q, meshes.tri_normal)
 
-    # two-material corner blend (ref: surface_nets.rs ≤7-material weights —
-    # a boundary cell carries its top-2 types; interpolation across the
-    # triangle smooths the transition per pixel)
-    albedo_c, f0_c, rough_c, emis_c = [], [], [], []
-    for c in range(3):
-        a1, f1, r1, e1 = material_params_for_types(registry, meshes.tri_type[..., c])
-        a2, f2, r2, e2 = material_params_for_types(registry, meshes.tri_type2[..., c])
-        b = meshes.tri_blend[..., c : c + 1]
-        albedo_c.append(a1 * (1 - b) + a2 * b)
-        f0_c.append(f1 * (1 - b) + f2 * b)
-        rough_c.append(r1 * (1 - b[..., 0]) + r2 * b[..., 0])
-        emis_c.append(e1 * (1 - b) + e2 * b)
-    albedo9 = jnp.concatenate(albedo_c, axis=-1)
-    f09 = jnp.concatenate(f0_c, axis=-1)
-    rough3 = jnp.stack(rough_c, axis=-1)
-    emis9 = jnp.concatenate(emis_c, axis=-1)
+    # corner materials are baked at remesh time (bake_mesh_materials — the
+    # two-material blend + table lookups measured ~70 ms/frame when done
+    # per frame at bench scale; ref: surface_nets.rs ≤7-material weights)
+    albedo9 = meshes.tri_albedo
+    f09 = meshes.tri_f0
+    rough3 = meshes.tri_rough
+    emis9 = meshes.tri_emissive
 
     tri_ok = meshes.tri_active & pool.alive[:, None]
     mat3 = jnp.where(tri_ok[..., None], meshes.tri_type, -1)

@@ -79,6 +79,22 @@ def default_registry() -> VoxelTypeRegistry:
     )
 
 
+def material_corner_table(registry: VoxelTypeRegistry) -> jnp.ndarray:
+    """Packed per-type material rows f32[T,10] = (albedo 3, f0 3, roughness 1,
+    emissive 3) — the lookup table ``bake_mesh_materials`` blends at REMESH
+    time so the per-frame scene assembly does zero material gathers (six
+    [O·Tc]-row table gathers measured ~70 ms/frame at bench scale,
+    devtools/probe_image_ops.py)."""
+    metal = registry.metalness[:, None]
+    spec = registry.specular_reflectance[:, None]
+    albedo = registry.color * (1.0 - metal)
+    f0 = spec * (1.0 - metal) + registry.color * metal
+    emissive = registry.color * registry.emissive_luminance[:, None]
+    return jnp.concatenate(
+        [albedo, f0, registry.roughness[:, None], emissive], axis=-1
+    )
+
+
 def material_params_for_types(registry: VoxelTypeRegistry, vtypes):
     """vtypes i32[...] → (albedo [...,3], f0 [...,3], roughness [...],
     emissive [...,3]) following the standard metalness workflow the

@@ -284,6 +284,12 @@ class TpuConfig:
     solver_mode: str = "scan"  # "scan" (Gauss-Seidel parity) | "jacobi" (scale)
     csm_cascades: int = 1  # directional shadow cascades (reference max: 4)
     max_render_triangles: int = 65536  # raster budget after slot compaction
+    # per-object compacted-mesh capacities; 0 = auto (min(4096,(g-1)³) verts /
+    # min(8192,6(g-1)³) tris). Overflow is COUNTED (CompactMesh.n_dropped_*)
+    # and surfaced by bench/HeadlessRuntime.dropped_mesh_elements — raise
+    # these when a scene's surfaces exceed the auto caps.
+    mesh_vert_cap: int = 0
+    mesh_tri_cap: int = 0
     textured_voxels: bool = False  # triplanar voxel-type texture arrays
     texture_resolution: int = 64  # procedural texture-array base size
     max_fracture_fragments: int = 16  # seeds/event (≤ ref max_fragment_count)

@@ -167,6 +167,117 @@ def bounding_radii(pool: VoxelObjectPool):
     return center_off + half * jnp.sqrt(3.0)
 
 
+INTERLOCK_ALIGNMENT_THRESHOLD = 0.1  # ref: contact.rs:611
+
+
+def separating_contacts_for_interlocked(
+    pos,  # f32[MP,P,3] manifold contact positions (world)
+    normal,  # f32[MP,P,3] surface normals
+    depth,  # f32[MP,P] penetration depths
+    active,  # bool[MP,P] contact mask
+    com_a,  # f32[MP,3] body A center of mass
+    com_b,  # f32[MP,3]
+):
+    """Interlock analysis per contact manifold, batched over pairs.
+
+    Ref: contact.rs:610-780 — a manifold whose penetration vectors strongly
+    cancel (alignment = |Σ d·n|²/(Σ d)² < 0.1) keeps the objects interlocked:
+    positional corrections fight along opposing directions. The reference then
+    substitutes the manifold with ONE synthetic contact separating along the
+    axis of least contact-point extent (minor of three diameter-derived axes),
+    oriented to push A's COM away from B's, with restitution 0 and infinite
+    friction.
+
+    Divergence from the reference: the max-displacement (diameter) direction
+    uses the standard 2-pass farthest-point approximation instead of the exact
+    O(k²) pairwise scan — exact pairwise over [MP,P,P] at P≈512 would
+    materialize ~270 MB per buffer; the 2-pass result differs only on
+    degenerate point sets.
+
+    Returns (interlocked bool[MP], sep_pos f32[MP,3], sep_axis f32[MP,3],
+    sep_depth f32[MP])."""
+    mp, p = depth.shape
+    pen = jnp.where(active & (depth > 0.0), depth, 0.0)  # [MP,P]
+    pen_sum = jnp.sum(pen, axis=-1)
+    vec_sum = jnp.sum(pen[..., None] * normal, axis=1)  # [MP,3]
+    alignment = jnp.sum(vec_sum * vec_sum, axis=-1) / jnp.maximum(
+        pen_sum * pen_sum, 1e-12
+    )
+    interlocked = (pen_sum >= 1e-6) & (
+        alignment < INTERLOCK_ALIGNMENT_THRESHOLD
+    )
+
+    big = jnp.float32(3e38)
+    inval = ~active
+
+    def farthest_from(ref_pt, pts):
+        d2 = jnp.sum((pts - ref_pt[:, None, :]) ** 2, axis=-1)
+        d2 = jnp.where(inval, -big, d2)
+        i = jnp.argmax(d2, axis=-1)
+        return jnp.take_along_axis(pts, i[:, None, None], axis=1)[:, 0], i
+
+    def diameter_axis(pts):
+        """2-pass farthest-point diameter direction of the active points."""
+        w = active.astype(jnp.float32)
+        centroid = jnp.sum(pts * w[..., None], axis=1) / jnp.maximum(
+            jnp.sum(w, axis=1), 1.0
+        )[..., None]
+        p1, _ = farthest_from(centroid, pts)
+        p2, _ = farthest_from(p1, pts)
+        return p2 - p1
+
+    def normalized_if_above(v, eps):
+        n = jnp.linalg.norm(v, axis=-1, keepdims=True)
+        return jnp.where(n > eps, v / jnp.maximum(n, 1e-12), 0.0), (
+            n[..., 0] > eps
+        )
+
+    major_v = diameter_axis(pos)
+    major, has_major = normalized_if_above(major_v, 1e-6)
+    proj = pos - jnp.sum(pos * major[:, None, :], axis=-1, keepdims=True) * (
+        major[:, None, :]
+    )
+    middle_v = diameter_axis(proj)
+    middle, has_middle = normalized_if_above(middle_v, 1e-6)
+    minor, has_minor = normalized_if_above(
+        jnp.cross(major, middle), 1e-4
+    )
+
+    def contact_along(axis):
+        """(valid, pos, depth) separating along ``axis`` (oriented A←B)."""
+        flip = jnp.sum(axis * (com_a - com_b), axis=-1) < 0.0
+        ax = jnp.where(flip[:, None], -axis, axis)
+        disp = jnp.sum(pos * ax[:, None, :], axis=-1)  # [MP,P]
+        dmin = jnp.min(jnp.where(inval, big, disp), axis=-1)
+        dmax = jnp.max(jnp.where(inval, -big, disp), axis=-1)
+        sep = dmax - dmin
+        imin = jnp.argmin(jnp.where(inval, big, disp), axis=-1)
+        cpos = jnp.take_along_axis(pos, imin[:, None, None], axis=1)[:, 0]
+        return sep > 1e-6, cpos, ax, sep
+
+    ok_mi, pos_mi, ax_mi, sep_mi = contact_along(minor)
+    ok_md, pos_md, ax_md, sep_md = contact_along(middle)
+    ok_ma, pos_ma, ax_ma, sep_ma = contact_along(major)
+    ok_mi = ok_mi & has_minor & has_middle & has_major
+    ok_md = ok_md & has_middle & has_major
+    ok_ma = ok_ma & has_major
+
+    # first valid of minor → middle → major (ref fallback chain)
+    def pick(a_ok, a_val, b_val):
+        return jnp.where(
+            a_ok[:, None] if a_val.ndim == 2 else a_ok, a_val, b_val
+        )
+
+    sep_pos = pick(ok_md, pos_md, pos_ma)
+    sep_ax = pick(ok_md, ax_md, ax_ma)
+    sep_dep = pick(ok_md, sep_md, sep_ma)
+    sep_pos = pick(ok_mi, pos_mi, sep_pos)
+    sep_ax = pick(ok_mi, ax_mi, sep_ax)
+    sep_dep = pick(ok_mi, sep_mi, sep_dep)
+    any_ok = ok_mi | ok_md | ok_ma
+    return interlocked & any_ok, sep_pos, sep_ax, sep_dep
+
+
 def voxel_contacts(
     pool: VoxelObjectPool,
     probes: VoxelProbes,
@@ -324,7 +435,29 @@ def voxel_contacts(
     )
     ba = jnp.broadcast_to(body_idx[pair_a][:, None], (max_pairs, p))
     bb = jnp.broadcast_to(body_idx[pair_b][:, None], (max_pairs, p))
+
+    # interlock analysis (ref: constraint.rs:241 — an interlocked manifold is
+    # REPLACED by one synthetic separating contact)
+    interlocked, sep_pos, sep_ax, sep_dep = separating_contacts_for_interlocked(
+        pos, n_ab, dep, active, x_b[pair_a], x_b[pair_b]
+    )
+    active = active & ~interlocked[:, None]
     emit(key, active, ba, bb, pos, n_ab, dep, resp)
+
+    key_cursor = key_cursor + np.uint32(o * o * p)
+    sep_key = key_cursor + (
+        pair_a.astype(jnp.uint32) * o + pair_b.astype(jnp.uint32)
+    )
+    # restitution 0, "infinite" friction: the synthetic contact exists for
+    # positional correction; velocity response just kills relative motion
+    # (ref: contact.rs:644 ContactResponseParameters::new(0.0, INF, INF))
+    sep_resp = jnp.broadcast_to(
+        jnp.asarray([0.0, 1e9, 1e9], jnp.float32), (max_pairs, 3)
+    )
+    emit(
+        sep_key, interlocked, body_idx[pair_a], body_idx[pair_b],
+        sep_pos, sep_ax, sep_dep, sep_resp,
+    )
 
     return compact_contacts(
         jnp.concatenate(keys),

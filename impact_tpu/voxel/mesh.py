@@ -238,6 +238,19 @@ class CompactMesh(NamedTuple):
     tri_type: jnp.ndarray  # i32[Tc,3]
     tri_type2: jnp.ndarray  # i32[Tc,3]
     tri_blend: jnp.ndarray  # f32[Tc,3]
+    # baked corner materials (two-material blend applied at remesh time via
+    # ``bake_mesh_materials`` — per-frame material table gathers measured
+    # ~70 ms at bench scale; ref: surface_nets.rs ≤7-material vertex weights
+    # reduced to the top-2 blend)
+    tri_albedo: jnp.ndarray  # f32[Tc,9]
+    tri_f0: jnp.ndarray  # f32[Tc,9]
+    tri_rough: jnp.ndarray  # f32[Tc,3]
+    tri_emissive: jnp.ndarray  # f32[Tc,9]
+    # overflow accounting ("no silent caps"): how many ACTIVE vertices /
+    # triangles of the source mesh did not fit the fixed capacities and were
+    # dropped. Scalars here; [O] when batched. Surfaced by bench + tests.
+    n_dropped_verts: jnp.ndarray  # i32[]
+    n_dropped_tris: jnp.ndarray  # i32[]
 
 
 def compact_mesh(mesh: SurfaceNetsMesh, vert_cap: int, tri_cap: int) -> CompactMesh:
@@ -272,6 +285,14 @@ def compact_mesh(mesh: SurfaceNetsMesh, vert_cap: int, tri_cap: int) -> CompactM
     # corner-major gathers (amortized: compact_mesh runs per REMESH of a
     # budgeted object subset, not per frame)
     c0, c1, c2 = tidx[:, 0], tidx[:, 1], tidx[:, 2]
+    n_dropped_verts = (
+        jnp.sum(mesh.vert_active).astype(jnp.int32)
+        - jnp.sum(vact).astype(jnp.int32)
+    )
+    n_dropped_tris = (
+        jnp.sum(mesh.tri_active).astype(jnp.int32)
+        - jnp.sum(tact).astype(jnp.int32)
+    )
     return CompactMesh(
         vert_active=vact,
         vert_pos=vpos,
@@ -286,6 +307,31 @@ def compact_mesh(mesh: SurfaceNetsMesh, vert_cap: int, tri_cap: int) -> CompactM
         tri_type=jnp.stack([vtype[c0], vtype[c1], vtype[c2]], axis=-1),
         tri_type2=jnp.stack([vtype2[c0], vtype2[c1], vtype2[c2]], axis=-1),
         tri_blend=jnp.stack([vblend[c0], vblend[c1], vblend[c2]], axis=-1),
+        tri_albedo=jnp.zeros((tri_cap, 9), jnp.float32),
+        tri_f0=jnp.zeros((tri_cap, 9), jnp.float32),
+        tri_rough=jnp.zeros((tri_cap, 3), jnp.float32),
+        tri_emissive=jnp.zeros((tri_cap, 9), jnp.float32),
+        n_dropped_verts=n_dropped_verts,
+        n_dropped_tris=n_dropped_tris,
+    )
+
+
+def bake_mesh_materials(mesh: CompactMesh, material_table) -> CompactMesh:
+    """Fill the baked corner-material fields from the packed [T,10] table
+    (``material_corner_table``): per-corner top-2 type blend, done once per
+    remesh instead of per frame. Works on single [Tc,...] or batched
+    [O,Tc,...] meshes."""
+    n_types = material_table.shape[0]
+    m1 = material_table[jnp.clip(mesh.tri_type, 0, n_types - 1)]  # [...,3,10]
+    m2 = material_table[jnp.clip(mesh.tri_type2, 0, n_types - 1)]
+    b = mesh.tri_blend[..., None]
+    m = m1 * (1.0 - b) + m2 * b  # [...,3,10]
+    lead = m.shape[:-2]
+    return mesh._replace(
+        tri_albedo=m[..., :, 0:3].reshape(lead + (9,)),
+        tri_f0=m[..., :, 3:6].reshape(lead + (9,)),
+        tri_rough=m[..., :, 6],
+        tri_emissive=m[..., :, 7:10].reshape(lead + (9,)),
     )
 
 

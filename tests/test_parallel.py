@@ -129,3 +129,113 @@ class TestHalo:
         # x=0 plane: min(inf, -5, 0) = -5 — NOT -7 (which wraparound would give)
         assert out[0, 0, 0, 0] == -5.0
         assert out[0, -1, 0, 0] == -7.0
+
+
+class TestPodScaleSolver:
+    """VERDICT r2 item 6: at pod scale the solver accumulation must stay
+    O(C) — no [C,N] incidence materialization — and the sharded solve must
+    match the single-device solve."""
+
+    def _scene(self, n_bodies, n_contacts, seed=11):
+        from impact_tpu.physics.collision import ContactBuffer
+        from impact_tpu.physics.solver import (
+            empty_solver_cache,
+            prepare_contacts,
+        )
+        from impact_tpu.physics.state import KIND_DYNAMIC, empty_body_state
+        from impact_tpu.utils.config import ConstraintSolverConfig
+
+        rng = np.random.default_rng(seed)
+        b = empty_body_state(n_bodies)
+        b = b._replace(
+            kind=jnp.full(n_bodies, KIND_DYNAMIC, jnp.int32),
+            inv_mass=jnp.asarray(
+                rng.uniform(0.2, 2.0, n_bodies).astype(np.float32)
+            ),
+            inv_inertia_body=jnp.broadcast_to(
+                jnp.eye(3, dtype=jnp.float32), (n_bodies, 3, 3)
+            ),
+            position=jnp.asarray(
+                rng.normal(size=(n_bodies, 3)).astype(np.float32)
+            ),
+            momentum=jnp.asarray(
+                rng.normal(size=(n_bodies, 3)).astype(np.float32)
+            ),
+        )
+        ia = rng.integers(0, n_bodies, n_contacts)
+        ib = (ia + 1 + rng.integers(0, n_bodies - 1, n_contacts)) % n_bodies
+        nrm = rng.normal(size=(n_contacts, 3)).astype(np.float32)
+        nrm /= np.linalg.norm(nrm, axis=-1, keepdims=True)
+        buf = ContactBuffer(
+            active=jnp.asarray(rng.uniform(size=n_contacts) < 0.9),
+            key=jnp.arange(n_contacts, dtype=jnp.uint32),
+            body_a=jnp.asarray(ia.astype(np.int32)),
+            body_b=jnp.asarray(ib.astype(np.int32)),
+            position=jnp.asarray(
+                rng.normal(size=(n_contacts, 3)).astype(np.float32)
+            ),
+            normal=jnp.asarray(nrm),
+            depth=jnp.asarray(
+                rng.uniform(0.0, 0.05, n_contacts).astype(np.float32)
+            ),
+            response=jnp.tile(
+                jnp.array([[0.3, 0.6, 0.4]], jnp.float32), (n_contacts, 1)
+            ),
+        )
+        cfg = ConstraintSolverConfig()
+        prep = prepare_contacts(b, buf, empty_solver_cache(n_contacts), cfg)
+        return b, prep, cfg
+
+    def test_no_incidence_materialization_at_1k_bodies(self):
+        """Compiled memory of the jacobi solve at N=1024, C=4096 must stay far
+        below what the one-hot [C,N] path would allocate (2×C×N×4B = 32 MB)."""
+        from impact_tpu.physics.solver import solve_contacts
+
+        n, c = 1024, 4096
+        b, prep, cfg = self._scene(n, c)
+        fn = jax.jit(lambda b, p: solve_contacts(b, p, cfg, mode="jacobi"))
+        mem = fn.lower(b, prep).compile().memory_analysis()
+        assert mem.temp_size_in_bytes < c * n * 4, (
+            f"solver temps {mem.temp_size_in_bytes/1e6:.1f} MB suggest a "
+            f"[C,N] incidence materialization"
+        )
+        out, _ = fn(b, prep)
+        assert bool(jnp.all(jnp.isfinite(out.velocity)))
+
+    def test_sharded_solve_matches_single_device(self):
+        """Jacobi solve with bodies sharded over the 'objects' axis (contacts
+        replicated) must match the unsharded solve."""
+        from impact_tpu.physics.solver import solve_contacts
+
+        mesh = _mesh()
+        n, c = 1024, 2048
+        b, prep, cfg = self._scene(n, c, seed=5)
+        # few iterations: the random contact graph is chaotic enough that
+        # cross-shard reduction-order noise amplifies over long solves
+        cfg.n_iterations = 1
+        cfg.n_positional_correction_iterations = 1
+        fn = jax.jit(lambda b, p: solve_contacts(b, p, cfg, mode="jacobi"))
+        ref, ref_cache = fn(b, prep)
+
+        body_sh = NamedSharding(mesh, P("objects"))
+        b_sh = jax.tree.map(
+            lambda a: jax.device_put(
+                a,
+                body_sh
+                if a.ndim >= 1 and a.shape[0] == n
+                else NamedSharding(mesh, P()),
+            ),
+            b,
+        )
+        prep_rep = jax.tree.map(
+            lambda a: jax.device_put(a, NamedSharding(mesh, P())), prep
+        )
+        out, out_cache = fn(b_sh, prep_rep)
+        np.testing.assert_allclose(
+            np.asarray(out.velocity), np.asarray(ref.velocity),
+            atol=1e-5, rtol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_cache.impulses), np.asarray(ref_cache.impulses),
+            atol=1e-5, rtol=1e-5,
+        )

@@ -430,3 +430,86 @@ class TestMeshInertia:
             np.asarray(m2[1]), np.asarray(m1[1]) + [5.0, -3.0, 2.0], atol=1e-3
         )
         np.testing.assert_allclose(np.asarray(m1[2]), np.asarray(m2[2]), rtol=1e-3, atol=1e-4)
+
+
+class TestInterlockSeparation:
+    """Ref: contact.rs:610-780 — interlocked manifolds are replaced by one
+    synthetic separating contact."""
+
+    def _run(self, pos, nrm, dep, com_a, com_b):
+        from impact_tpu.voxel.collision import (
+            separating_contacts_for_interlocked,
+        )
+
+        pos = jnp.asarray(pos, jnp.float32)[None]
+        nrm = jnp.asarray(nrm, jnp.float32)[None]
+        dep = jnp.asarray(dep, jnp.float32)[None]
+        act = jnp.ones(dep.shape, bool)
+        return separating_contacts_for_interlocked(
+            pos, nrm, dep, act,
+            jnp.asarray(com_a, jnp.float32)[None],
+            jnp.asarray(com_b, jnp.float32)[None],
+        )
+
+    def test_aligned_manifold_not_interlocked(self):
+        """All normals share a direction → alignment 1.0 → no interlock."""
+        pos = [[0, 0, 0], [1, 0, 0], [0, 0, 1], [1, 0, 1]]
+        nrm = [[0, 1, 0]] * 4
+        dep = [0.1, 0.2, 0.1, 0.2]
+        inter, _, _, _ = self._run(pos, nrm, dep, (0.5, 1, 0.5), (0.5, -1, 0.5))
+        assert not bool(inter[0])
+
+    def test_opposing_manifold_interlocked(self):
+        """Opposing penetration vectors cancel → interlocked; the synthetic
+        contact satisfies the reference's invariants (contact.rs:637-780):
+        unit axis oriented to push COM_a from COM_b, depth = contact extent
+        along the axis, position = the min-displacement contact point."""
+        # 8 points spanning x:4, y:2, z:1 (diameter = the box diagonal — the
+        # reference's exact pairwise scan picks it too)
+        pos = np.array(
+            [
+                [x, y, z]
+                for x in (0.0, 4.0)
+                for y in (0.0, 2.0)
+                for z in (0.0, 1.0)
+            ],
+            np.float32,
+        )
+        # half push +x, half push -x → cancel
+        nrm = [[1, 0, 0]] * 4 + [[-1, 0, 0]] * 4
+        dep = [0.3] * 8
+        com_a, com_b = (2.0, 1.0, 3.0), (2.0, 1.0, -3.0)
+        inter, spos, sax, sdep = self._run(pos, nrm, dep, com_a, com_b)
+        assert bool(inter[0])
+        ax = np.asarray(sax[0])
+        np.testing.assert_allclose(np.linalg.norm(ax), 1.0, atol=1e-5)
+        assert float(np.dot(ax, np.subtract(com_a, com_b))) > 0.0
+        disp = pos @ ax
+        np.testing.assert_allclose(
+            float(sdep[0]), disp.max() - disp.min(), atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(spos[0]), pos[disp.argmin()], atol=1e-4
+        )
+
+    def test_zero_depth_manifold_not_interlocked(self):
+        pos = [[0, 0, 0], [1, 0, 0]]
+        nrm = [[1, 0, 0], [-1, 0, 0]]
+        dep = [0.0, 0.0]
+        inter, _, _, _ = self._run(pos, nrm, dep, (0, 0, 0), (1, 0, 0))
+        assert not bool(inter[0])
+
+    def test_collinear_manifold_falls_back_to_major(self):
+        """Points along one line: middle/minor degenerate → separate along
+        the major axis (ref fallback, contact.rs:668-672)."""
+        pos = [[0, 0, 0], [1, 0, 0], [2, 0, 0], [3, 0, 0]]
+        nrm = [[0, 1, 0], [0, -1, 0], [0, 1, 0], [0, -1, 0]]
+        dep = [0.2] * 4
+        inter, spos, sax, sdep = self._run(
+            pos, nrm, dep, (5.0, 0, 0), (-5.0, 0, 0)
+        )
+        assert bool(inter[0])
+        ax = np.asarray(sax[0])
+        np.testing.assert_allclose(np.abs(ax), [1, 0, 0], atol=1e-5)
+        assert ax[0] > 0
+        np.testing.assert_allclose(float(sdep[0]), 3.0, atol=1e-5)

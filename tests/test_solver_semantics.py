@@ -131,3 +131,84 @@ class TestWarmStart:
         )
         prep = prepare_contacts(bodies, contacts, cache, ConstraintSolverConfig())
         np.testing.assert_allclose(prep.warm_impulses[0], 0.0, atol=1e-7)
+
+
+class TestSegmentAccumulation:
+    """The pod-scale sorted segment-sum accumulation must be numerically
+    interchangeable with the one-hot-matmul accumulation (the small-N oracle).
+    Ref semantics: solver.rs compute_and_apply_constrained_state — the
+    accumulation strategy is an implementation detail, not a behavior."""
+
+    def _random_scene(self, n_bodies, n_contacts, seed=0):
+        import impact_tpu.physics.solver as solver_mod
+
+        rng = np.random.default_rng(seed)
+        b = empty_body_state(n_bodies)
+        q = rng.normal(size=(n_bodies, 4)).astype(np.float32)
+        q /= np.linalg.norm(q, axis=-1, keepdims=True)
+        b = b._replace(
+            kind=jnp.full(n_bodies, KIND_DYNAMIC, jnp.int32),
+            inv_mass=jnp.asarray(
+                rng.uniform(0.2, 2.0, n_bodies).astype(np.float32)
+            ),
+            inv_inertia_body=jnp.broadcast_to(
+                jnp.eye(3, dtype=jnp.float32), (n_bodies, 3, 3)
+            )
+            * jnp.asarray(rng.uniform(0.5, 2.0, (n_bodies, 1, 1)).astype(np.float32)),
+            position=jnp.asarray(rng.normal(size=(n_bodies, 3)).astype(np.float32)),
+            orientation=jnp.asarray(q),
+            momentum=jnp.asarray(
+                rng.normal(size=(n_bodies, 3)).astype(np.float32)
+            ),
+            angular_momentum=jnp.asarray(
+                rng.normal(size=(n_bodies, 3)).astype(np.float32)
+            ),
+        )
+        ia = rng.integers(0, n_bodies, n_contacts)
+        ib = (ia + 1 + rng.integers(0, n_bodies - 1, n_contacts)) % n_bodies
+        nrm = rng.normal(size=(n_contacts, 3)).astype(np.float32)
+        nrm /= np.linalg.norm(nrm, axis=-1, keepdims=True)
+        buf = ContactBuffer(
+            active=jnp.asarray(rng.uniform(size=n_contacts) < 0.8),
+            key=jnp.arange(n_contacts, dtype=jnp.uint32),
+            body_a=jnp.asarray(ia.astype(np.int32)),
+            body_b=jnp.asarray(ib.astype(np.int32)),
+            position=jnp.asarray(rng.normal(size=(n_contacts, 3)).astype(np.float32)),
+            normal=jnp.asarray(nrm),
+            depth=jnp.asarray(
+                rng.uniform(0.0, 0.05, n_contacts).astype(np.float32)
+            ),
+            response=jnp.tile(
+                jnp.array([[0.3, 0.6, 0.4]], jnp.float32), (n_contacts, 1)
+            ),
+        )
+        cfg = ConstraintSolverConfig()
+        prep = prepare_contacts(b, buf, empty_solver_cache(n_contacts), cfg)
+        return solver_mod, b, prep, cfg
+
+    def test_segment_matches_one_hot(self, monkeypatch):
+        from impact_tpu.physics.solver import solve_contacts
+
+        solver_mod, b, prep, cfg = self._random_scene(200, 96, seed=3)
+        assert 200 >= solver_mod.SEGMENT_ACCUMULATION_MIN_BODIES
+        out_seg, cache_seg = solve_contacts(b, prep, cfg, mode="jacobi")
+        monkeypatch.setattr(
+            solver_mod, "SEGMENT_ACCUMULATION_MIN_BODIES", 10**9
+        )
+        out_oh, cache_oh = solve_contacts(b, prep, cfg, mode="jacobi")
+        np.testing.assert_allclose(
+            np.asarray(out_seg.velocity), np.asarray(out_oh.velocity),
+            atol=1e-4, rtol=1e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_seg.angular_velocity),
+            np.asarray(out_oh.angular_velocity), atol=1e-4, rtol=1e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_seg.position), np.asarray(out_oh.position),
+            atol=1e-5, rtol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(cache_seg.impulses), np.asarray(cache_oh.impulses),
+            atol=1e-4, rtol=1e-4,
+        )

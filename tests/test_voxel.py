@@ -356,3 +356,31 @@ class TestMetaSdf:
         # bumpy sphere: more voxels than the plain radius-4 sphere
         plain, _ = generate_sdf_grid(sdflib.sphere(4.0), G, 0.5)
         assert int((s < 0).sum()) > int((plain < 0).sum())
+
+
+class TestCompactionDropCounters:
+    """'No silent caps': compact_mesh must COUNT overflowed actives
+    (VERDICT-r2 weak item 3)."""
+
+    def test_no_drops_when_capacity_suffices(self):
+        from impact_tpu.voxel.mesh import compact_mesh, surface_nets
+
+        s, _ = generate_sdf_grid(sdflib.sphere(6.0), G, 1.0)
+        mesh = surface_nets(s, jnp.zeros((G, G, G), jnp.int32))
+        cm = compact_mesh(mesh, (G - 1) ** 3, 6 * (G - 1) ** 3)
+        assert int(cm.n_dropped_verts) == 0
+        assert int(cm.n_dropped_tris) == 0
+
+    def test_drops_counted_on_overflow(self):
+        from impact_tpu.voxel.mesh import compact_mesh, surface_nets
+
+        s, _ = generate_sdf_grid(sdflib.sphere(6.0), G, 1.0)
+        mesh = surface_nets(s, jnp.zeros((G, G, G), jnp.int32))
+        n_v = int(jnp.sum(mesh.vert_active))
+        n_t = int(jnp.sum(mesh.tri_active))
+        cap_v, cap_t = n_v // 2, n_t // 2
+        cm = compact_mesh(mesh, cap_v, cap_t)
+        assert int(cm.n_dropped_verts) == n_v - cap_v
+        # triangles drop both from the cap and from overflowed vertex refs
+        assert int(cm.n_dropped_tris) >= n_t - cap_t
+        assert int(jnp.sum(cm.tri_active)) + int(cm.n_dropped_tris) == n_t
