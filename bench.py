@@ -82,8 +82,19 @@ def main() -> dict:
     cfg.rendering.shadow_mapping.omnidirectional_light_shadow_map_resolution = int(
         os.environ.get("BENCH_SHADOW_RES", "512")
     )
-    # ~500k surface triangles at 64 solid 26^3 boxes; budget must hold them
-    cfg.tpu.max_render_triangles = int(os.environ.get("BENCH_TRIS", str(1 << 19)))
+    # quad merging collapses the 26³ boxes' flat faces ~3×: ~2.9k active tris
+    # per object. The per-object render slice (free compaction) takes 4096
+    # leading slots; the budget covers all sliced slots so the argsort
+    # compaction is skipped entirely. Drops are logged below (must be 0).
+    cfg.tpu.render_tris_per_object = int(
+        os.environ.get("BENCH_TRIS_PER_OBJ", "4096")
+    )
+    cfg.tpu.max_render_triangles = int(
+        os.environ.get(
+            "BENCH_TRIS",
+            str(n_objects * cfg.tpu.render_tris_per_object + 64),
+        )
+    )
     # i8 SDF storage (ref VoxelSignedDistance semantics): ~35% faster stepping
     cfg.tpu.sdf_encoding = os.environ.get("BENCH_SDF", "i8")
 
@@ -111,19 +122,97 @@ def main() -> dict:
     rt.render()
     _log(f"render warmup {time.perf_counter() - t0:.0f}s")
 
-    # measure pure stepping
+    import jax
+    import jax.numpy as jnp
+
+    def _sync():
+        # host fetch = the only true sync through the tunnel
+        np.asarray(
+            jax.device_get(rt.sim.phys.bodies.position.reshape(-1)[:1])
+        )
+
+    _sync()
+    t0 = time.perf_counter()
+    for _ in range(3):
+        _sync()
+    sync_cost = (time.perf_counter() - t0) / 3
+
+    # measure pure stepping (sustained loop, one sync)
     n_steps = int(os.environ.get("BENCH_STEPS", "100"))
     t0 = time.perf_counter()
     rt.step(n_steps)
-    dt_step = (time.perf_counter() - t0) / n_steps
+    _sync()
+    dt_step = max(time.perf_counter() - t0 - sync_cost, 1e-9) / n_steps
 
-    # measure step+render frame
-    n_frames = int(os.environ.get("BENCH_FRAMES", "10"))
+    # measure step+render frames (sustained loop, one sync)
+    n_frames = int(os.environ.get("BENCH_FRAMES", "20"))
     t0 = time.perf_counter()
     for _ in range(n_frames):
         rt.step(1)
         rt.render()
-    dt_frame = (time.perf_counter() - t0) / n_frames
+    _sync()
+    dt_frame = max(time.perf_counter() - t0 - sync_cost, 1e-9) / n_frames
+
+    # per-stage device times (host-fetch sync: block_until_ready does not
+    # block through the axon tunnel) + FLOP/MFU accounting from XLA's own
+    # cost analysis of the compiled engine step
+    import jax
+    import jax.numpy as jnp
+
+    def _fetch(out):
+        # host fetch = the only true sync through the tunnel (and it costs
+        # tens of ms round-trip — time long loops, subtract one fetch)
+        leaf = jax.tree.leaves(out)[0]
+        np.asarray(jax.device_get(leaf.reshape(-1)[:1]))
+
+    _fetch(jnp.ones((8,)))
+    t0 = time.perf_counter()
+    for _ in range(5):
+        _fetch(jnp.ones((8,)))
+    fetch_cost = (time.perf_counter() - t0) / 5
+
+    def _time_stage(fn, n=20):
+        _fetch(fn())
+        t0 = time.perf_counter()
+        for _ in range(n):
+            out = fn()
+        _fetch(out)
+        return max(time.perf_counter() - t0 - fetch_cost, 0.0) / n * 1e3
+
+    sim = rt.sim
+    stages = {}
+    try:
+        scene = rt._scene_of(sim)
+        stages["scene_of"] = _time_stage(lambda: rt._scene_of(sim))
+        gb = rt._geometry(scene, sim.render.frame_index)
+        stages["geometry"] = _time_stage(
+            lambda: rt._geometry(scene, sim.render.frame_index)
+        )
+        sh = rt._shadows(scene)
+        stages["shadows"] = _time_stage(lambda: rt._shadows(scene))
+        omni, uni = sh
+        stages["shade"] = _time_stage(
+            lambda: rt._shade(gb, omni, uni, rt._textures)
+        )
+        lum = rt._shade(gb, omni, uni, rt._textures)
+        stages["post"] = _time_stage(
+            lambda: rt._post(lum, gb.motion, sim.render)
+        )
+        stages["step"] = _time_stage(lambda: rt._step(sim, rt.params))
+        stages = {k: round(v, 1) for k, v in stages.items()}
+    except Exception as exc:  # stage probing must never sink the bench
+        stages = {"error": str(exc)[:200]}
+
+    flops = 0.0
+    try:
+        cost = rt._step.lower(sim, rt.params).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+    except Exception:
+        pass
+    # v5e peak ≈ 197 TFLOP/s bf16 / ~98 TFLOP/s f32; the step is mostly f32
+    mfu = flops / dt_step / 98e12 if flops else 0.0
 
     steps_per_sec = 1.0 / dt_step
     return {
@@ -137,6 +226,11 @@ def main() -> dict:
         "value": round(steps_per_sec, 2),
         "unit": "steps/s",
         "vs_baseline": round(steps_per_sec / BASELINE_STEPS_PER_SEC, 2),
+        "frame_ms": round(dt_frame * 1e3, 1),
+        "stages_ms": stages,
+        "step_flops": flops,
+        "step_mfu_f32": round(mfu, 4),
+        "dropped_mesh_elements": list(rt.dropped_mesh_elements()),
     }
 
 

@@ -21,18 +21,38 @@ import numpy as np
 
 def _fetch(out):
     """True synchronization: under the axon tunnel block_until_ready does not
-    block — only a host fetch does."""
+    block — only a host fetch does. The fetch itself costs tens of ms of
+    round-trip, so timings use LONG dispatch loops with ONE fetch at the end,
+    minus the measured fetch cost."""
     leaf = jax.tree.leaves(out)[0]
-    np.asarray(jax.jit(lambda x: jnp.sum(x.astype(jnp.float32)))(leaf))
+    flat = leaf.reshape(-1)
+    np.asarray(jax.device_get(flat[:1]))
 
 
-def timeit(fn, n=5):
+_FETCH_COST = None
+
+
+def _fetch_cost():
+    global _FETCH_COST
+    if _FETCH_COST is None:
+        x = jnp.ones((8,), jnp.float32)
+        _fetch(x)
+        t0 = time.perf_counter()
+        for _ in range(5):
+            _fetch(x)
+        _FETCH_COST = (time.perf_counter() - t0) / 5
+        print(f"[prof] fetch cost {_FETCH_COST*1e3:.0f} ms", flush=True)
+    return _FETCH_COST
+
+
+def timeit(fn, n=25):
     _fetch(fn())  # warm
+    f = _fetch_cost()
     t0 = time.perf_counter()
     for _ in range(n):
         out = fn()
     _fetch(out)
-    return (time.perf_counter() - t0) / n * 1e3
+    return max(time.perf_counter() - t0 - f, 0.0) / n * 1e3
 
 
 def main():
@@ -54,7 +74,15 @@ def main():
     cfg.rendering.shadow_mapping.omnidirectional_light_shadow_map_resolution = int(
         os.environ.get("BENCH_SHADOW_RES", "512")
     )
-    cfg.tpu.max_render_triangles = int(os.environ.get("BENCH_TRIS", str(1 << 19)))
+    cfg.tpu.render_tris_per_object = int(
+        os.environ.get("BENCH_TRIS_PER_OBJ", "4096")
+    )
+    cfg.tpu.max_render_triangles = int(
+        os.environ.get(
+            "BENCH_TRIS",
+            str(n_objects * cfg.tpu.render_tris_per_object + 64),
+        )
+    )
     cfg.tpu.sdf_encoding = "i8"
 
     world = voxel_box_tumbler(n_boxes=max(1, n_objects - 2), seed=3)

@@ -90,6 +90,8 @@ class RenderConfig(NamedTuple):
     texture_scale: float = 0.5  # world units → uv tiling frequency
     normal_map_strength: float = 1.0
     shadow_pcf_downsample: int = 1  # PCF visibility at 1/k res (1080p: 2)
+    ao_downsample: int = 1  # AO at 1/k res (1080p: 2) — occluder gathers
+    # dominate the shade pass; AO is low-frequency and 3x3-blurred anyway
     soft_shadows: bool = False  # PCSS-style penumbras from light extents
     procedural_sky: bool = False  # gradient+sun skybox for sky pixels
     orthographic: bool = False  # true orthographic camera projection
@@ -386,15 +388,22 @@ def deferred_shade(
         gb = gb._replace(albedo=albedo, normal=normal)
 
     if config.ao_enabled:
-        vpos_h = jnp.einsum("ij,hwj->hwi", vm, hp_cur)[..., :3]
-        vnorm = jnp.einsum("ij,hwj->hwi", vm[:3, :3], gb.normal)
+        k = config.ao_downsample
+        vpos_h = jnp.einsum(
+            "ij,hwj->hwi", vm, hp_cur[::k, ::k]
+        )[..., :3]
+        vnorm = jnp.einsum("ij,hwj->hwi", vm[:3, :3], gb.normal[::k, ::k])
         occlusion = post.ambient_occlusion(
-            vpos_h, vnorm, gb.valid, cam.vertical_fov,
+            vpos_h, vnorm, gb.valid[::k, ::k], cam.vertical_fov,
             sample_count=config.ao_sample_count,
             sample_radius=config.ao_sample_radius,
             intensity=config.ao_intensity,
             contrast=config.ao_contrast,
         )
+        if k > 1:
+            occlusion = jnp.repeat(
+                jnp.repeat(occlusion, k, axis=0), k, axis=1
+            )[:h, :w]
     else:
         occlusion = jnp.ones((h, w), jnp.float32)
 

@@ -256,6 +256,76 @@ def _bilinear_up2(img):
     ).reshape(2 * h, 2 * w, c)
 
 
+# --- NCHW conv forms of the bloom ops -------------------------------------
+# The tap-sequence forms above are the readable reference; the bloom chain
+# runs them as convolutions in channels-as-batch [3,1,H,W] layout (one
+# transpose in, one out). The tap forms as pad/shift/strided-reshape programs
+# measured 63 ms for ONE 1080p downsample on the v5e; the conv forms ride the
+# conv units (devtools/probe_image_ops.py).
+
+
+def _down13_nchw(x):
+    """6x6 stride-2 conv form of _downsample13 on [B,1,H,W]."""
+    b, _, h, w = x.shape
+    if h % 2 or w % 2:
+        x = jnp.pad(
+            x, ((0, 0), (0, 0), (0, h % 2), (0, w % 2)), mode="edge"
+        )
+    p = jnp.pad(x, ((0, 0), (0, 0), (2, 2), (2, 2)), mode="edge")
+    k = jnp.asarray(_DOWN13_KERNEL)[None, None]
+    return jax.lax.conv_general_dilated(
+        p, k, (2, 2), "VALID", dimension_numbers=("NCHW", "OIHW", "NCHW")
+    )
+
+
+def _up2_nchw(x):
+    """2x bilinear upsample (wgpu half-pixel alignment) as a separable
+    lhs-dilated conv — exact match of _bilinear_up2."""
+    p = jnp.pad(x, ((0, 0), (0, 0), (1, 1), (1, 1)), mode="edge")
+    k = jnp.asarray([0.25, 0.75, 0.75, 0.25], jnp.float32)
+    y = jax.lax.conv_general_dilated(
+        p, k[None, None, :, None], (1, 1), [(0, 0), (0, 0)],
+        lhs_dilation=(2, 1), dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )
+    return jax.lax.conv_general_dilated(
+        y, k[None, None, None, :], (1, 1), [(0, 0), (0, 0)],
+        lhs_dilation=(1, 2), dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )
+
+
+def _tent_kernel(r: float) -> np.ndarray:
+    """1D impulse response of the fractional-radius tent blur axis pass."""
+    import math
+
+    reach = int(math.ceil(abs(r))) + 1
+    w = np.zeros(2 * reach + 1, np.float32)
+    w[reach] += 0.5
+    for d in (r, -r):
+        lo = int(math.floor(d))
+        f = d - lo
+        w[reach + lo] += 0.25 * (1.0 - f)
+        w[reach + lo + 1] += 0.25 * f
+    return w
+
+
+def _tent_nchw(x, r: float):
+    """Separable tent blur at static fractional radius r, conv form."""
+    k = _tent_kernel(float(r))
+    reach = (len(k) - 1) // 2
+    p = jnp.pad(
+        x, ((0, 0), (0, 0), (reach, reach), (reach, reach)), mode="edge"
+    )
+    kj = jnp.asarray(k)
+    y = jax.lax.conv_general_dilated(
+        p, kj[None, None, :, None], (1, 1), [(0, 0), (0, 0)],
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )
+    return jax.lax.conv_general_dilated(
+        y, kj[None, None, None, :], (1, 1), [(0, 0), (0, 0)],
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )
+
+
 def bloom(
     luminance,
     n_downsamplings: int = 4,
@@ -269,21 +339,24 @@ def bloom(
     normalization 1/N and the configured blurred weight.
 
     ``blur_filter_radius`` is in uv units of each upsample's INPUT mip
-    (the shader's R in texture coordinates)."""
-    levels = [luminance]
-    img = luminance
+    (the shader's R in texture coordinates). Runs entirely as convs in
+    channels-as-batch NCHW layout."""
+    h, w0, _ = luminance.shape
+    x = jnp.transpose(luminance, (2, 0, 1))[:, None]  # [3,1,H,W]
+    levels = [x]
     for _ in range(n_downsamplings):
-        img = _downsample13(img)
-        levels.append(img)
+        x = _down13_nchw(x)
+        levels.append(x)
     acc = levels[n_downsamplings]
     for i in range(n_downsamplings - 1, 0, -1):  # stop at mip 1 (bloom.rs:110)
-        th, tw, _ = levels[i].shape
-        r_px = blur_filter_radius * acc.shape[1]
-        acc = _bilinear_up2(_tent_blur(acc, r_px))[:th, :tw] + levels[i]
-    th, tw, _ = luminance.shape
-    blurred = _bilinear_up2(acc)[:th, :tw] / n_downsamplings
+        th, tw = levels[i].shape[2], levels[i].shape[3]
+        r_px = blur_filter_radius * acc.shape[3]
+        acc = (
+            _up2_nchw(_tent_nchw(acc, r_px))[:, :, :th, :tw] + levels[i]
+        )
+    blurred = _up2_nchw(acc)[:, :, :h, :w0] / n_downsamplings
     w = blurred_luminance_weight
-    return (1.0 - w) * luminance + w * blurred
+    return (1.0 - w) * luminance + w * jnp.transpose(blurred[:, 0], (1, 2, 0))
 
 
 # --- exposure (ref: capturing.rs + average_luminance.rs) ------------------------

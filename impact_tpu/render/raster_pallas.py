@@ -5,22 +5,26 @@ reference rasterizes on GPU hardware (impact_rendering geometry/shadow passes,
 render_command.rs:222-432); the TPU-native design is a screen-tile kernel:
 
   prologue (XLA):  near-clip -> screen-plane coefficients per triangle ->
-                   bin each triangle to the TOP-LEFT tile of its bbox -> ONE
-                   1-operand sort of packed (tile << id_bits | slot) keys ->
-                   per-tile row ranges (a PARTITION by tile: the kernel keeps
-                   a running z-min, so in-tile candidate order is irrelevant)
+                   bin each triangle to the TOP-LEFT tile of its bbox on the
+                   FINE (16px) grid, or the COARSE (64px) grid when it spans
+                   more than 2x2 fine tiles -> ONE sort by packed
+                   (bin << 14 | quantized-z) keys -> per-tile row ranges.
+                   The z sub-key only matters under k_per_range overflow
+                   (drops farthest-first); the kernel keeps a running z-min.
   kernel (Pallas): per 16x16 tile, DMA the candidate payloads of the 2x2
-                   tile neighborhood (two contiguous, 128-aligned column
-                   ranges of a LANE-MAJOR [rows, P] payload), evaluate
-                   barycentric/depth planes for 128 candidates per VPU op
-                   with a running (z, payload-index) min, then select the
-                   winner's payload per pixel with one-hot MXU matmuls and
-                   interpolate attributes in-register.
+                   fine AND 2x2 coarse bin neighborhoods (four contiguous,
+                   128-aligned column ranges of a LANE-MAJOR [rows, P]
+                   payload), evaluate barycentric/depth planes for 128
+                   candidates per VPU op with a running (z, payload-index)
+                   min, then select the winner's payload per pixel with
+                   one-hot MXU matmuls and interpolate attributes
+                   in-register.
 
 Measured design rules (v5e, devtools/ benches):
-  - lax.sort cost scales with operand count; XLA row gathers cost ~10 ns/row
-    regardless of row WIDTH. Both paths therefore sort ONE packed u32 key and
-    pay a single row gather + transpose for the payload.
+  - lax.sort cost is FLAT in operand count (≤13 ops ≈ 1-op); XLA gathers
+    cost ~3 ns per ELEMENT. The depth path therefore carries its 12 payload
+    rows THROUGH the sort (free permutation); the attribute path (72 rows —
+    a 73-op sort stalls XLA) sorts (key, id) and pays one row gather.
   - Candidates live on LANES: one [S^2, 128] VPU op evaluates a whole
     candidate block against every pixel — per-candidate column extraction
     (the v1 sublane layout) was ~20x slower than the arithmetic.
@@ -57,6 +61,13 @@ from .raster import _edge, _screen_coords, clip_triangles_near
 GEOM_ROWS = 12
 _INF = np.float32(3.0e38)
 _LANES = 128
+_ZKEY_BITS = 14  # quantized-z sub-key: overflow drops farthest-first
+_ZKEY_SCALE = float((1 << _ZKEY_BITS) - 2)
+# coarse bin class: triangles spanning >2×2 fine tiles but ≤2×2 coarse tiles
+# (COARSE_FACTOR× bigger) — e.g. merged flat voxel quads — keep tile-local
+# treatment instead of overflowing the global big block
+COARSE_FACTOR = 4
+_N_WINDOWS = 4  # 2 fine ranges + 2 coarse ranges per tile
 
 
 def _plane_coefficients(clip2, act2, height, width, cull_backfaces):
@@ -126,12 +137,30 @@ def _bin(
     tx1 = jnp.clip(jnp.floor(xmax / tile).astype(jnp.int32), 0, tw - 1)
     ty0 = jnp.clip(jnp.floor(ymin / tile).astype(jnp.int32), 0, th - 1)
     ty1 = jnp.clip(jnp.floor(ymax / tile).astype(jnp.int32), 0, th - 1)
-    first = jnp.arange(t2, dtype=jnp.int32) < n_first
-    fits = (tx1 - tx0 <= 1) & (ty1 - ty0 <= 1)
-    small = act & fits & first
-    big = act & ~small
+    # coarse grid (COARSE_FACTOR× bigger tiles): medium triangles — e.g.
+    # merged flat quads spanning a few fine tiles — bin there instead of
+    # overflowing the 128-lane big block
+    ctile = tile * COARSE_FACTOR
+    tcw = -(-tw // COARSE_FACTOR)
+    tch = -(-th // COARSE_FACTOR)
+    n_ctiles = tch * tcw
+    cx0 = jnp.clip(jnp.floor(xmin / ctile).astype(jnp.int32), 0, tcw - 1)
+    cx1 = jnp.clip(jnp.floor(xmax / ctile).astype(jnp.int32), 0, tcw - 1)
+    cy0 = jnp.clip(jnp.floor(ymin / ctile).astype(jnp.int32), 0, tch - 1)
+    cy1 = jnp.clip(jnp.floor(ymax / ctile).astype(jnp.int32), 0, tch - 1)
 
-    btile = jnp.where(small, ty0 * tw + tx0, n_tiles)
+    first = jnp.arange(t2, dtype=jnp.int32) < n_first
+    fits_fine = (tx1 - tx0 <= 1) & (ty1 - ty0 <= 1)
+    fits_coarse = (cx1 - cx0 <= 1) & (cy1 - cy0 <= 1)
+    small = act & fits_fine & first
+    medium = act & ~fits_fine & fits_coarse & first
+    big = act & ~small & ~medium
+
+    btile = jnp.where(
+        small,
+        ty0 * tw + tx0,
+        jnp.where(medium, n_tiles + cy0 * tcw + cx0, n_tiles + n_ctiles),
+    )
 
     na = attr_corners.shape[1] if attr_corners is not None else 0
     rows_total = GEOM_ROWS + na
@@ -141,39 +170,53 @@ def _bin(
     k_eff = (1 + -(-k_per_range // _LANES)) * _LANES
     p_pad = -(-(n_first + k_eff) // _LANES) * _LANES
 
-    # binning is a PARTITION by tile, not an ordering: the kernel keeps a
-    # running (z, index) min, so candidate order within a tile is irrelevant.
-    # Pack (tile, slot-id) into ONE u32 sort key — a 1-operand sort plus one
-    # row gather beats carrying the payload rows through the sort.
-    id_bits = max(1, (n_first - 1).bit_length())
-    assert (n_tiles + 1) <= (1 << (32 - id_bits)), (
-        f"packed sort key overflow: {n_tiles} tiles x {n_first} slots"
+    # binning is a PARTITION by bin id; within a bin candidates are ordered
+    # nearest-first by a quantized-z sub-key so that k_per_range OVERFLOW
+    # drops the FARTHEST candidates (the kernel itself keeps a running z-min,
+    # so the order only matters under overflow). 2-op sort (measured:
+    # lax.sort cost is flat in operand count ≤13) + one payload row gather.
+    zq = jnp.clip(near_z, 0.0, 1.0)
+    zq = jnp.where(
+        small | medium, (zq * _ZKEY_SCALE).astype(jnp.int32),
+        (1 << _ZKEY_BITS) - 1,
     )
-    packed = (
-        btile[:n_first].astype(jnp.uint32) << id_bits
-    ) | jnp.arange(n_first, dtype=jnp.uint32)
-    (key_s,) = jax.lax.sort((packed,), num_keys=1)
-    tile_s = (key_s >> id_bits).astype(jnp.int32)
-    order = (key_s & ((1 << id_bits) - 1)).astype(jnp.int32)
+    key = (
+        btile[:n_first].astype(jnp.uint32) << _ZKEY_BITS
+    ) | zq[:n_first].astype(jnp.uint32)
     if attr_corners is None:
-        full = jnp.stack(geom, axis=-1)  # [T2, 12]
+        # depth path: carry the 12 geometry rows THROUGH the sort (lax.sort
+        # cost is flat in operand count ≤13; a [T,12] row gather costs
+        # ~3 ns/ELEMENT on this TPU — the sort permutation is free by
+        # comparison) and stack straight into the lane-major layout
+        sorted_ops = jax.lax.sort(
+            (key, *[g[:n_first] for g in geom]), num_keys=1
+        )
+        key_s = sorted_ops[0]
+        payload = jnp.stack(sorted_ops[1:], axis=0)  # [12, n_first]
+        payload = jnp.pad(
+            payload, ((0, rows_pad - GEOM_ROWS), (0, p_pad - n_first))
+        )
     else:
+        key_s, order = jax.lax.sort(
+            (key, jnp.arange(n_first, dtype=jnp.int32)), num_keys=1
+        )
         full = jnp.concatenate(
             [jnp.stack(geom, axis=-1), attr_corners], axis=-1
         )  # [T2, R]
-    payload = full[order].T  # ONE row gather + transpose
-    payload = jnp.pad(
-        payload, ((0, rows_pad - rows_total), (0, p_pad - n_first))
-    )
+        payload = full[order].T  # ONE row gather + transpose
+        payload = jnp.pad(
+            payload, ((0, rows_pad - rows_total), (0, p_pad - n_first))
+        )
+    tile_s = (key_s >> _ZKEY_BITS).astype(jnp.int32)
     payload = payload.at[2, n_first:].set(-1.0)
 
     bounds = jnp.searchsorted(
-        tile_s, jnp.arange(n_tiles + 1, dtype=jnp.int32)
+        tile_s, jnp.arange(n_tiles + n_ctiles + 1, dtype=jnp.int32)
     ).astype(jnp.int32)
 
-    # 2 ranges per tile: top-left-binned candidates of rows ty-1 and ty,
-    # columns tx-1..tx (a 2x2-fitting triangle overlapping tile t has its
-    # top-left bin within that window)
+    # 4 ranges per tile: fine rows {ty-1, ty} × cols [tx-1, tx], plus the
+    # same 2×2 window on the coarse grid (a 2×2-fitting triangle overlapping
+    # tile t has its top-left bin within that window)
     tids = jnp.arange(n_tiles, dtype=jnp.int32)
     ttx = tids % tw
     tty = tids // tw
@@ -184,8 +227,21 @@ def _bin(
     r_start = bounds[rows_c * tw + lo_x[:, None]]
     r_end = bounds[rows_c * tw + ttx[:, None] + 1]
     r_len = jnp.where(row_ok, r_end - r_start, 0)
-    counts2 = jnp.minimum(r_len, k_per_range)
-    n_drop = jnp.sum(r_len - counts2)
+    # coarse window of this fine tile
+    ctx = ttx // COARSE_FACTOR
+    cty = tty // COARSE_FACTOR
+    lo_cx = jnp.maximum(ctx - 1, 0)
+    crows2 = cty[:, None] + jnp.array([-1, 0], jnp.int32)[None, :]
+    crow_ok = crows2 >= 0
+    crows_c = jnp.maximum(crows2, 0)
+    cr_start = bounds[n_tiles + crows_c * tcw + lo_cx[:, None]]
+    cr_end = bounds[n_tiles + crows_c * tcw + ctx[:, None] + 1]
+    cr_len = jnp.where(crow_ok, cr_end - cr_start, 0)
+
+    starts4 = jnp.concatenate([r_start, cr_start], axis=-1)  # [n_tiles,4]
+    lens4 = jnp.concatenate([r_len, cr_len], axis=-1)
+    counts4 = jnp.minimum(lens4, k_per_range)
+    n_drop = jnp.sum(lens4 - counts4)
 
     # big block: 128 lanes, nearest-first (top_k, not a full argsort)
     nb = int(min(big_budget, _LANES, t2))
@@ -210,11 +266,11 @@ def _bin(
 
     ranges = jnp.concatenate(
         [
-            jnp.minimum(r_start, n_first).astype(jnp.int32),
-            counts2.astype(jnp.int32),
+            jnp.minimum(starts4, n_first).astype(jnp.int32),
+            counts4.astype(jnp.int32),
         ],
         axis=-1,
-    ).reshape(-1)  # flat [n_tiles*4]: start0,start1,cnt0,cnt1 per tile (2-D
+    ).reshape(-1)  # flat [n_tiles*8]: 4 starts then 4 counts per tile (2-D
     # SMEM operands are lane-padded to 128 ints/row — 1-D stays compact)
     # block the lane-major payload to [P/128, R, 128] so the kernel's DMA
     # offset is on the leading dim (Mosaic can't slice at dynamic lane offsets)
@@ -237,8 +293,8 @@ def _make_kernel(tile, n_blocks, tw, rows, n_attr, p_pad):
         y0 = (jax.lax.div(i, tw) * tile).astype(jnp.float32)
 
         aligned = []
-        for r in range(2):
-            s = ranges_ref[i * 4 + r]
+        for r in range(_N_WINDOWS):
+            s = ranges_ref[i * 8 + r]
             a = s - jax.lax.rem(s, _LANES)
             aligned.append(a)
             pltpu.make_async_copy(
@@ -274,9 +330,9 @@ def _make_kernel(tile, n_blocks, tw, rows, n_attr, p_pad):
 
         best_z = jnp.full((s2, 1), _INF, jnp.float32)
         best_i = jnp.full((s2, 1), -1, jnp.int32)
-        for r in range(2):
-            s = ranges_ref[i * 4 + r]
-            cnt = ranges_ref[i * 4 + 2 + r]
+        for r in range(_N_WINDOWS):
+            s = ranges_ref[i * 8 + r]
+            cnt = ranges_ref[i * 8 + 4 + r]
             a = aligned[r]
             pltpu.make_async_copy(
                 payload.at[pl.ds(a // _LANES, n_blocks)],
@@ -311,9 +367,9 @@ def _make_kernel(tile, n_blocks, tw, rows, n_attr, p_pad):
         # ---- winner payload via one-hot MXU selects over the same blocks ----
         valid = best_i >= 0
         sel = jnp.zeros((s2, rows), jnp.float32)
-        for r in range(2):
-            s = ranges_ref[i * 4 + r]
-            cnt = ranges_ref[i * 4 + 2 + r]
+        for r in range(_N_WINDOWS):
+            s = ranges_ref[i * 8 + r]
+            cnt = ranges_ref[i * 8 + 4 + r]
             a = aligned[r]
             for j in range(n_blocks):
                 gidx = a + j * _LANES + lane
@@ -398,8 +454,8 @@ def _run(ranges, payload, big_rows, big_mask, th, tw, tile, k_per_range,
         ],
         out_specs=out_spec,
         scratch_shapes=[
-            pltpu.VMEM((2, n_blocks, rows, _LANES), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((_N_WINDOWS, n_blocks, rows, _LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA((_N_WINDOWS,)),
         ],
     )
     return pl.pallas_call(
@@ -435,7 +491,7 @@ def rasterize_attributes(
     width: int,
     *,
     tile: int = 16,
-    k_per_range: int = 256,
+    k_per_range: int = 128,
     big_budget: int = 128,
     cull_backfaces: bool = True,
     interpret: bool = False,
@@ -507,7 +563,7 @@ def rasterize_depth(
     width: int,
     *,
     tile: int = 16,
-    k_per_range: int = 256,
+    k_per_range: int = 128,
     big_budget: int = 128,
     cull_backfaces: bool = True,
     interpret: bool = False,

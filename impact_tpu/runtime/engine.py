@@ -62,7 +62,7 @@ from ..voxel.mesh import (
     CompactMesh,
     bake_mesh_materials,
     compact_mesh_batched,
-    surface_nets_batched,
+    make_surface_nets_batched,
 )
 from ..voxel.object import VoxelObjectPool, empty_voxel_object_pool, generate_sdf_grid
 
@@ -364,9 +364,9 @@ def make_engine_step(
             sub2 = sub2._replace(origin=pool2.origin[order])
             from ..voxel.encoding import sdf_world
 
-            full = surface_nets_batched(
-                sdf_world(sub2.sdf, sub2.voxel_extent), sub2.vtype
-            )
+            full = make_surface_nets_batched(
+                config.tpu.mesh_merge_levels
+            )(sdf_world(sub2.sdf, sub2.voxel_extent), sub2.vtype)
             sub_mesh = compact_mesh_batched(full, mesh_vert_cap, mesh_tri_cap)
             sub_mesh = bake_mesh_materials(sub_mesh, params.material_table)
             meshes2 = jax.tree.map(

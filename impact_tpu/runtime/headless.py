@@ -111,6 +111,8 @@ class HeadlessRuntime:
         # materialized attachments, so splitting costs no fusion; each stage
         # compiles and caches independently (whole-frame programs make XLA's
         # optimization passes balloon).
+        tris_per_object = self.config.tpu.render_tris_per_object
+
         def scene_of(sim):
             scene = build_render_scene(
                 sim.voxels, sim.meshes,
@@ -118,6 +120,7 @@ class HeadlessRuntime:
                 sim.prev_position, sim.prev_orientation,
                 params.static_geometry,
                 params.mesh_instances,
+                tris_per_object=tris_per_object,
             )
             return compact_scene_triangles(scene, rc.max_triangles)
 
@@ -236,14 +239,21 @@ class HeadlessRuntime:
 
     def dropped_mesh_elements(self):
         """(dropped_verts, dropped_tris) summed over objects — active mesh
-        elements that overflowed the fixed compaction caps ("no silent caps":
-        callers log/assert this; nonzero means mesh_vert_cap/mesh_tri_cap are
-        undersized for the scene's surfaces)."""
+        elements that overflowed the fixed compaction caps or the
+        render_tris_per_object slice ("no silent caps": callers log/assert
+        this; nonzero means the caps are undersized for the scene)."""
         import numpy as np
 
+        dropped_tris = int(np.asarray(jnp.sum(self.sim.meshes.n_dropped_tris)))
+        k = self.config.tpu.render_tris_per_object
+        if k > 0:
+            per_obj = jnp.sum(self.sim.meshes.tri_active, axis=-1)
+            dropped_tris += int(
+                np.asarray(jnp.sum(jnp.maximum(per_obj - k, 0)))
+            )
         return (
             int(np.asarray(jnp.sum(self.sim.meshes.n_dropped_verts))),
-            int(np.asarray(jnp.sum(self.sim.meshes.n_dropped_tris))),
+            dropped_tris,
         )
 
     def render(self):

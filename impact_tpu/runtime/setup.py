@@ -37,7 +37,7 @@ from ..scene.materials import (
 from ..utils.config import EngineConfig
 from ..voxel import sdf as sdflib
 from ..voxel.interaction import empty_absorber_pools
-from ..voxel.mesh import compact_mesh_batched, surface_nets_batched
+from ..voxel.mesh import compact_mesh_batched, make_surface_nets_batched
 from ..voxel.object import empty_voxel_object_pool, generate_sdf_grid
 from .engine import EngineParams, SimState
 
@@ -964,7 +964,9 @@ def _compile_scene_impl(
             phys.bodies, phys.bodies.velocity, phys.bodies.angular_velocity
         )
     )
-    full = surface_nets_batched(_sdf_world(pool.sdf, pool.voxel_extent), pool.vtype)
+    full = make_surface_nets_batched(config.tpu.mesh_merge_levels)(
+        _sdf_world(pool.sdf, pool.voxel_extent), pool.vtype
+    )
     mesh_vert_cap = config.tpu.mesh_vert_cap or min(4096, (g - 1) ** 3)
     mesh_tri_cap = config.tpu.mesh_tri_cap or min(8192, 6 * (g - 1) ** 3)
     meshes = compact_mesh_batched(full, mesh_vert_cap, mesh_tri_cap)
@@ -1081,6 +1083,7 @@ def render_config_from_engine_config(config: EngineConfig):
         max_triangles=config.tpu.max_render_triangles,
         textured=config.tpu.textured_voxels,
         shadow_pcf_downsample=2 if config.tpu.render_height >= 720 else 1,
+        ao_downsample=2 if config.tpu.render_height >= 720 else 1,
         soft_shadows=config.tpu.soft_shadows,
         procedural_sky=config.tpu.procedural_sky,
         orthographic=config.tpu.orthographic_camera,

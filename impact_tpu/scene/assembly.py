@@ -176,10 +176,30 @@ def build_render_scene(
     body_orientation_prev,  # f32[N,4]
     static_geometry: StaticGeometry,
     mesh_instances: MeshInstancePool | None = None,
+    tris_per_object: int = 0,
 ) -> RenderScene:
     """Flatten voxel meshes + static geometry + mesh models into one
     corner-major RenderScene — elementwise transforms only, no per-frame
-    triangle-index gathers (the corner layout is built at remesh time)."""
+    triangle-index gathers (the corner layout is built at remesh time).
+
+    ``tris_per_object`` > 0 takes only the LEADING slots of each object's
+    mesh — compact_mesh packs actives to the front, so this is a free
+    (slice-only) render compaction; callers account overflow via the active
+    counts (HeadlessRuntime.dropped_mesh_elements)."""
+    if 0 < tris_per_object < meshes.tri_pos.shape[1]:
+        k = tris_per_object
+        meshes = meshes._replace(
+            tri_active=meshes.tri_active[:, :k],
+            tri_pos=meshes.tri_pos[:, :k],
+            tri_normal=meshes.tri_normal[:, :k],
+            tri_type=meshes.tri_type[:, :k],
+            tri_type2=meshes.tri_type2[:, :k],
+            tri_blend=meshes.tri_blend[:, :k],
+            tri_albedo=meshes.tri_albedo[:, :k],
+            tri_f0=meshes.tri_f0[:, :k],
+            tri_rough=meshes.tri_rough[:, :k],
+            tri_emissive=meshes.tri_emissive[:, :k],
+        )
     o, tc, _ = meshes.tri_pos.shape
 
     # grid units → body frame (corner-major [O,Tc,9])

@@ -290,6 +290,15 @@ class TpuConfig:
     # these when a scene's surfaces exceed the auto caps.
     mesh_vert_cap: int = 0
     mesh_tri_cap: int = 0
+    # render-exact hierarchical quad merging at remesh time (level ℓ merges
+    # 2^ℓ-cell flat uniform blocks; 0 = off). Cuts active triangle counts
+    # ~3× on boxy voxel content with pixel-identical output.
+    mesh_merge_levels: int = 2
+    # per-object triangle slots entering the render scene (0 = all
+    # mesh_tri_cap slots). compact_mesh packs actives to the front, so a
+    # slice is a free compaction; overflow is counted by
+    # HeadlessRuntime.dropped_mesh_elements.
+    render_tris_per_object: int = 0
     textured_voxels: bool = False  # triplanar voxel-type texture arrays
     texture_resolution: int = 64  # procedural texture-array base size
     max_fracture_fragments: int = 16  # seeds/event (≤ ref max_fragment_count)

@@ -128,3 +128,66 @@ def test_big_triangle_ground_plane():
     got = np.asarray(depth_p)
     # bottom half of the screen sees the ground plane
     assert (got[24:, :] < 1.0).all()
+
+
+def test_medium_triangles_use_coarse_bins_not_big_block():
+    """Triangles spanning >2×2 fine tiles but fitting the coarse grid must
+    render via the coarse bin class even when the big block is saturated by
+    other geometry — they may NOT depend on big_budget."""
+    h = w = 64  # 4x4 fine tiles (tile 16), 1x1 coarse
+    # a medium quad covering ~3x3 tiles in the screen center
+    verts = jnp.array(
+        [[-0.7, -0.7, -2.0], [0.7, -0.7, -2.0],
+         [-0.7, 0.7, -2.0], [0.7, 0.7, -2.0]],
+        jnp.float32,
+    )
+    tri = jnp.array([[0, 1, 3], [0, 3, 2]], jnp.int32)
+    active = jnp.ones((2,), bool)
+    clip = _project(verts)
+    tri_clip = clip[tri]
+    depth_p = rp.rasterize_depth(
+        tri_clip, active, h, w, k_per_range=16, big_budget=0,
+        cull_backfaces=False, interpret=True,
+    )
+    got = np.asarray(depth_p)
+    # with big_budget=0 the quad can only come through the coarse bins
+    assert (got[20:44, 20:44] < 1.0).all()
+
+
+def test_merged_quads_render_identically():
+    """Quad-merged voxel meshes must rasterize pixel-identically to the
+    unmerged mesh (the merge predicate guarantees planar/affine blocks)."""
+    from impact_tpu.voxel import sdf as sdflib
+    from impact_tpu.voxel.mesh import compact_mesh, surface_nets
+    from impact_tpu.voxel.object import generate_sdf_grid
+
+    G = 24
+    s, _ = generate_sdf_grid(sdflib.box((16.0, 16.0, 16.0)), G, 1.0)
+    vt = jnp.zeros((G, G, G), jnp.int32)
+    h = w = 96
+
+    def render(ml):
+        m = surface_nets(s, vt, merge_levels=ml)
+        cm = compact_mesh(m, 4096, 8192)
+        pos = (cm.tri_pos - G / 2) * 0.25
+        pos = pos - jnp.tile(jnp.asarray([0.0, 0.0, 8.0]), 3)
+        cols = [
+            _project(pos[:, 3 * c : 3 * c + 3]) for c in range(3)
+        ]
+        clip = jnp.stack(cols, axis=1)
+        # k_per_range sized so the UNMERGED mesh doesn't overflow the ranges
+        # (back faces aren't culled here; overflow drops farthest-first which
+        # is what the merged/unmerged comparison must not depend on)
+        return rp.rasterize_depth(
+            clip, cm.tri_active, h, w, k_per_range=1024,
+            cull_backfaces=False, interpret=True,
+        ), int(cm.tri_active.sum())
+
+    d0, n0 = render(0)
+    d2, n2 = render(2)
+    assert n2 < n0  # merging actually happened
+    diff = np.abs(np.asarray(d0) - np.asarray(d2)) > 2e-5
+    # identical except fp tie-breaks of pixels exactly on shared edges
+    # (coverage decided from different triangle planes) — same magnitude the
+    # XLA-raster oracle shows between the two meshes
+    assert diff.mean() <= 1e-3, f"{diff.sum()} px differ"
