@@ -358,6 +358,127 @@ class TestMetaSdf:
         assert int((s < 0).sum()) > int((plain < 0).sum())
 
 
+class TestMetaSdfReferenceNodes:
+    """Round-3 meta-SDF completeness (VERDICT item 8): surface-relative
+    placement, parameter distributions with inter-parameter dependencies,
+    meta-level noise. Ref: impact_voxel/src/generation/sdf/meta.rs:149-674,
+    meta/params.rs."""
+
+    def test_param_dependency_and_distributions(self):
+        from impact_tpu.voxel import meta_sdf as meta
+
+        rng = np.random.default_rng(0)
+        for _ in range(20):
+            v = meta.sample_params(
+                {"r": meta.uniform(1.0, 2.0),
+                 "len": meta.from_param("r", scale=3.0, offset=0.5),
+                 "ang": meta.uniform_cos_angle(10.0, 80.0),
+                 "p": meta.power_law(1.0, 10.0, -2.0),
+                 "n": meta.discrete_uniform(2, 5)}, rng)
+            assert abs(v["len"] - (0.5 + 3.0 * v["r"])) < 1e-12
+            assert 10.0 - 1e-6 <= v["ang"] <= 80.0 + 1e-6
+            assert 1.0 <= v["p"] <= 10.0
+            assert v["n"] in (2.0, 3.0, 4.0, 5.0)
+
+    def test_param_cycle_detected(self):
+        from impact_tpu.voxel import meta_sdf as meta
+
+        rng = np.random.default_rng(0)
+        with pytest.raises(ValueError, match="circular"):
+            meta.sample_params(
+                {"a": meta.from_param("b"), "b": meta.from_param("a")}, rng)
+
+    def test_per_instance_sampling_varies_radii(self):
+        from impact_tpu.voxel import meta_sdf as meta
+
+        g = meta.stratified_grid_transforms(
+            meta.meta_spheres(radius=meta.uniform(0.5, 1.0)),
+            shape=(2, 2, 2), cell_size=3.0, jitter=0.0)
+        graph = meta.lower(g, seed=1)
+        radii = set()
+
+        def walk(node):
+            if node.get("kind") == "sphere":
+                radii.add(round(node["radius"], 9))
+            for key in ("a", "b", "child"):
+                if key in node:
+                    walk(node[key])
+            for c in node.get("children", []):
+                walk(c)
+
+        walk(graph)
+        assert len(radii) >= 4  # independently sampled, not one shared draw
+
+    def test_closest_translation_to_surface(self):
+        from impact_tpu.voxel import meta_sdf as meta
+
+        surface = meta.sdf_instantiation(meta.meta_spheres(radius=4.0))
+        boulders = meta.sphere_surface_transforms(
+            meta.meta_boxes(extent=0.5), count=8, sphere_radius=7.0, jitter=0.0)
+        snapped = meta.closest_translation_to_surface(surface, boulders)
+        graph = meta.lower(meta.sdf_instantiation(snapped), seed=3)
+        dists = []
+
+        def walk(node):
+            if node.get("kind") == "translation":
+                d = float(np.linalg.norm(node["offset"]))
+                if d > 1.0:
+                    dists.append(d)
+            for key in ("a", "b", "child"):
+                if key in node:
+                    walk(node[key])
+            for c in node.get("children", []):
+                walk(c)
+
+        walk(graph)
+        assert len(dists) == 8
+        # Newton-snapped from r=7 onto the r=4 sphere surface
+        assert all(abs(d - 4.0) < 0.2 for d in dists)
+
+    def test_ray_translation_and_rotation_to_gradient(self):
+        from impact_tpu.voxel import meta_sdf as meta
+
+        surface = meta.sdf_instantiation(meta.meta_spheres(radius=4.0))
+        rocks = meta.ray_translation_to_surface(
+            surface,
+            meta.sphere_surface_transforms(
+                meta.meta_capsules(radius=0.3,
+                                   segment_length=meta.from_param("radius",
+                                                                  scale=3.0)),
+                count=6, sphere_radius=8.0, rotation="radial_inwards"),
+            anchor="shape_boundary")
+        oriented = meta.rotation_to_gradient(surface, rocks)
+        graph = meta.lower(
+            meta.group_union([surface, meta.sdf_instantiation(oriented)],
+                             smoothness=0.2), seed=5)
+        s, _ = generate_sdf_grid(graph, G, 0.4)
+        plain, _ = generate_sdf_grid(sdflib.sphere(4.0 / 0.4 * 0.4), G, 0.4)
+        assert int((s < 0).sum()) > 0
+
+    def test_meta_noise_modifier_roughens_surface(self):
+        from impact_tpu.voxel import meta_sdf as meta
+
+        base = meta.sdf_instantiation(meta.meta_spheres(radius=6.0))
+        noisy = meta.noise_modifier(base, octaves=3, frequency=0.6,
+                                    amplitude=1.2)
+        g0 = meta.lower(base, seed=1)
+        g1 = meta.lower(noisy, seed=1)
+        s0, _ = generate_sdf_grid(g0, G, 0.5)
+        s1, _ = generate_sdf_grid(g1, G, 0.5)
+        assert not np.allclose(np.asarray(s0), np.asarray(s1))
+
+    def test_np_evaluator_matches_jax(self):
+        from impact_tpu.voxel import meta_sdf as meta
+
+        g = meta.lower(meta.noise_modifier(
+            meta.sdf_instantiation(meta.meta_boxes(extent=1.5, count=3)),
+            octaves=3, frequency=0.7, amplitude=0.4), seed=9)
+        P = np.random.default_rng(0).uniform(-3, 3, (256, 3)).astype(np.float32)
+        d_np = sdflib.evaluate_np(g, P)
+        d_jx = np.asarray(sdflib.evaluate(g, jnp.asarray(P)))
+        assert np.abs(d_np - d_jx).max() < 1e-4
+
+
 class TestCompactionDropCounters:
     """'No silent caps': compact_mesh must COUNT overflowed actives
     (VERDICT-r2 weak item 3)."""
