@@ -158,7 +158,9 @@ class HeadlessRuntime:
         from ..render.gizmos import build_gizmo_lines, overlay_lines
 
         def gizmo_overlay(img, sim, kinds):
-            lines = build_gizmo_lines(sim, params, kinds)
+            lines = build_gizmo_lines(
+                sim, params, kinds, aspect=rc.width / rc.height,
+                n_cascades=self.config.tpu.csm_cascades)
             vp = projection_matrix(
                 params.camera, rc.width, rc.height, None
             ) @ view_matrix(params.camera)

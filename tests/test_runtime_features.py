@@ -66,6 +66,21 @@ class TestCommands:
         rt.apply_commands()
         assert rt.visible_gizmos == ()
 
+    def test_all_21_gizmo_types_render(self):
+        """Every reference GizmoType (impact_gizmo/src/lib.rs:39-61) builds
+        and overlays without error in one pass."""
+        from impact_tpu.render.gizmos import ALL_GIZMO_TYPES
+
+        assert len(ALL_GIZMO_TYPES) == 21
+        rt = tiny_runtime()
+        rt.step(2)
+        base = np.asarray(rt.render())
+        rt.enqueue_command("gizmo", "set_visible", ALL_GIZMO_TYPES)
+        rt.apply_commands()
+        overlaid = np.asarray(rt.render())
+        assert overlaid.shape == base.shape
+        assert (overlaid != base).any()
+
     def test_rendering_command_rebuilds_config(self):
         rt = tiny_runtime()
         rt.enqueue_command("rendering", "set_tone_mapping", "KhronosPBRNeutral")
