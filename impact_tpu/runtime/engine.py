@@ -324,7 +324,9 @@ def make_engine_step(
         # 2. absorption (ref task ApplyVoxelAbsorption)
         if enable_absorption and has_absorbers:
             pool = apply_absorption(
-                pool, params.absorbers, phys.bodies.position, phys.bodies.orientation
+                pool, params.absorbers, phys.bodies.position,
+                phys.bodies.orientation,
+                gate_cap=min(config.tpu.absorption_gate_cap, o_max),
             )
 
         # 3. fracturing on impact impulse (ref task ExecuteVoxelObjectFracturing)

@@ -301,6 +301,9 @@ class TpuConfig:
     render_tris_per_object: int = 0
     textured_voxels: bool = False  # triplanar voxel-type texture arrays
     texture_resolution: int = 64  # procedural texture-array base size
+    # absorption runs dense only on the ≤cap objects whose bounding spheres
+    # overlap an absorber (gathered sub-pool) — O(K·G³), not O(O·G³)
+    absorption_gate_cap: int = 8
     max_fracture_fragments: int = 16  # seeds/event (≤ ref max_fragment_count)
     max_fracture_events: int = 2  # concurrent fracture events per step
     soft_shadows: bool = False  # PCSS-style soft shadows from light extents

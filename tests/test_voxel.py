@@ -214,6 +214,48 @@ class TestDeformation:
         assert after < before
         assert bool(pool2.mesh_dirty[0])
 
+    def test_gated_absorption_matches_dense(self):
+        """Object-gated absorption (bounding-sphere prefilter + gathered
+        sub-pool) is exact vs the dense pass when the cap suffices, and
+        leaves non-overlapping objects untouched (VERDICT-r2 weak item 10)."""
+        n_obj = 6
+        pool = empty_voxel_object_pool(n_obj, G)
+        s, origin = generate_sdf_grid(sdflib.sphere(6.0), G, 1.0)
+        for i in range(n_obj):
+            pool = pool._replace(
+                sdf=pool.sdf.at[i].set(s),
+                origin=pool.origin.at[i].set(origin),
+                voxel_extent=pool.voxel_extent.at[i].set(1.0),
+                alive=pool.alive.at[i].set(True),
+                body_index=pool.body_index.at[i].set(i),
+            )
+        absorbers = empty_absorber_pools()
+        absorbers = absorbers._replace(
+            sph_body=absorbers.sph_body.at[0].set(n_obj),
+            sph_offset=absorbers.sph_offset.at[0].set(
+                jnp.array([7.0, 0.0, 0.0])),
+            sph_radius=absorbers.sph_radius.at[0].set(3.0),
+            sph_mask=absorbers.sph_mask.at[0].set(True),
+        )
+        # objects 0,1 near the absorber; the rest far away
+        pos = jnp.zeros((n_obj + 1, 3))
+        pos = pos.at[1].set(jnp.array([2.0, 0.0, 0.0]))
+        for i in range(2, n_obj):
+            pos = pos.at[i].set(jnp.array([500.0 * i, 0.0, 0.0]))
+        ori = jnp.tile(jnp.array([0.0, 0.0, 0.0, 1.0]), (n_obj + 1, 1))
+
+        dense = apply_absorption(pool, absorbers, pos, ori)
+        gated = apply_absorption(pool, absorbers, pos, ori, gate_cap=3)
+        np.testing.assert_array_equal(np.asarray(dense.sdf),
+                                      np.asarray(gated.sdf))
+        np.testing.assert_array_equal(np.asarray(dense.mesh_dirty),
+                                      np.asarray(gated.mesh_dirty))
+        assert bool(gated.mesh_dirty[0]) and bool(gated.mesh_dirty[1])
+        assert not bool(gated.mesh_dirty[2])
+        # far objects' SDFs are bit-identical (never gathered)
+        np.testing.assert_array_equal(np.asarray(pool.sdf[2:]),
+                                      np.asarray(gated.sdf[2:]))
+
     def test_ccl_single_component(self):
         pool = make_sphere_pool(radius=6.0)
         occ = occupancy(pool)[0]
