@@ -144,12 +144,14 @@ def main() -> dict:
     _sync()
     dt_step = max(time.perf_counter() - t0 - sync_cost, 1e-9) / n_steps
 
-    # measure step+render frames (sustained loop, one sync)
+    # measure step+render frames: ONE fused dispatch per frame (the tunnel's
+    # per-dispatch floor is ~30 ms for a full-SimState program)
+    rt.step_and_render()
+    _sync()
     n_frames = int(os.environ.get("BENCH_FRAMES", "20"))
     t0 = time.perf_counter()
     for _ in range(n_frames):
-        rt.step(1)
-        rt.render()
+        rt.step_and_render()
     _sync()
     dt_frame = max(time.perf_counter() - t0 - sync_cost, 1e-9) / n_frames
 

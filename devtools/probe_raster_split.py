@@ -100,10 +100,13 @@ def main():
         a_dim = at.shape[1] // 3
         ca = [jnp.concatenate([at[:, i * a_dim : (i + 1) * a_dim]] * 2, axis=0)
               for i in range(3)]
-        attr_flat = jnp.concatenate(
-            [bary2[:, i, 0:1] * ca[0] + bary2[:, i, 1:2] * ca[1]
-             + bary2[:, i, 2:3] * ca[2] for i in range(3)], axis=-1)
-        return rp._bin(clip2, act2, H, W, 16, 256, 128, True, attr_flat, T)[:5]
+        bw = [[bary2[:, i, c] for c in range(3)] for i in range(3)]
+        attr_rows = [
+            bw[i][0] * ca[0][:, j] + bw[i][1] * ca[1][:, j]
+            + bw[i][2] * ca[2][:, j]
+            for i in range(3) for j in range(a_dim)
+        ]
+        return rp._bin(clip2, act2, H, W, 16, 256, 128, True, attr_rows, T)[:5]
 
     bench("attr: prologue (clip+blend+bin+sort)", attr_prologue, clip, act,
           attrs)

@@ -112,15 +112,16 @@ def render_omni_shadow_cubemap(
         return project_corners(tri_pos9, vp), vp  # [T,3,4]
 
     if backend == "pallas":
-        from .raster_pallas import rasterize_depth
+        from .raster_pallas import rasterize_depth_pos
 
         # static Python loop over the 6 faces (one kernel compile, 6 calls —
         # Pallas kernels don't batch under vmap the way XLA ops do)
         ds, vs = [], []
         for i in range(6):
-            tri_clip, vp = face_clip(i)
-            ds.append(rasterize_depth(
-                tri_clip, tri_active, resolution, resolution,
+            view = _look_view_matrix(light_pos, face_dirs[i], face_ups[i])
+            vp = proj @ view
+            ds.append(rasterize_depth_pos(
+                tri_pos9, tri_active, vp, resolution, resolution,
                 cull_backfaces=False,
             ))
             vs.append(vp)
@@ -162,16 +163,17 @@ def render_uni_shadow_map(
     r = scene_radius
     proj = orthographic_projection_matrix(-r, r, -r, r, 0.05, 4.0 * r)
     vp = proj @ view
+    if backend == "pallas":
+        from .raster_pallas import rasterize_depth_pos
+
+        depth = rasterize_depth_pos(
+            tri_pos9, tri_active, vp, resolution, resolution,
+            cull_backfaces=False,
+        )
+        return depth, vp
     from .pipeline import project_corners
 
     tri_clip = project_corners(tri_pos9, vp)
-    if backend == "pallas":
-        from .raster_pallas import rasterize_depth
-
-        depth = rasterize_depth(
-            tri_clip, tri_active, resolution, resolution, cull_backfaces=False,
-        )
-        return depth, vp
     target, _, _ = rasterlib.rasterize(
         tri_clip, tri_active, resolution, resolution, cull_backfaces=False,
         k_per_tile=256, big_budget=64, tiles_per_chunk=64,
@@ -265,7 +267,13 @@ def omni_shadow_visibility(
 
     ``source_extent``: physical light size — enables PCSS-style soft shadows
     (blocker depth from the center tap scales the PCF radius;
-    ref: soft shadow cube mapping scene / *omnidirectional_light*.wgsl)."""
+    ref: soft shadow cube mapping scene / *omnidirectional_light*.wgsl).
+
+    Per-pixel ``shadow_vps[face]`` would gather a 4x4 matrix per pixel
+    (~25 ms at 540p on the v5e); instead the position is projected by ALL six
+    face matrices (one [P,4]x[4,24] matmul) and the result is one-hot
+    selected — and depth-map lookups use FLAT 1D indices into the stacked
+    faces."""
     v = world_pos - light_pos
     av = jnp.abs(v)
     # face selection by dominant axis
@@ -278,9 +286,12 @@ def omni_shadow_visibility(
             jnp.where(v[..., 2] >= 0, 4, 5),
         ),
     )
-    vp = shadow_vps[face]  # [...,4,4]
     hp = jnp.concatenate([world_pos, jnp.ones_like(world_pos[..., :1])], -1)
-    clip = jnp.einsum("...ij,...j->...i", vp, hp)
+    # project by all 6 faces at once: [...,4] @ [4, 6*4]
+    all_vp = jnp.transpose(shadow_vps, (0, 2, 1)).reshape(6 * 4, 4).T  # [4,24]
+    clip6 = (hp @ all_vp).reshape(hp.shape[:-1] + (6, 4))
+    oh = (face[..., None] == jnp.arange(6)).astype(clip6.dtype)  # [...,6]
+    clip = jnp.einsum("...f,...fc->...c", oh, clip6)
     w = jnp.maximum(clip[..., 3], 1e-8)
     ndc = clip[..., :3] / w[..., None]
     uv = jnp.stack([ndc[..., 0] * 0.5 + 0.5, 0.5 - ndc[..., 1] * 0.5], -1)
@@ -290,9 +301,11 @@ def omni_shadow_visibility(
     quads = shadow_depths if shadow_depths.ndim == 4 else quad_pack(shadow_depths)
     s = quads.shape[-2]
     base = uv * s - 0.5
+    flat = quads.reshape(6 * s * s, 4)
+    fbase = face * (s * s)
 
     def sample(p):
-        return quads[face, p[..., 1], p[..., 0], 0]
+        return flat[fbase + p[..., 1] * s + p[..., 0], 0]
 
     if source_extent is not None:
         # PCSS-lite: blocker depth from the center tap → penumbra radius
@@ -307,7 +320,7 @@ def omni_shadow_visibility(
         return _pcf_4tap(sample, base, s, depth_ref, radius)
 
     def quad_at(p):
-        return quads[face, p[..., 1], p[..., 0], :]
+        return flat[fbase + p[..., 1] * s + p[..., 0], :]
 
     return _pcf_4tap_quad(quad_at, base, s, depth_ref)
 
@@ -528,27 +541,34 @@ def uni_cascade_visibility(
         idx = jnp.sum(
             (view_depth[..., None] > splits[1:-1]).astype(jnp.int32), axis=-1
         )
+        idx = jnp.clip(idx, 0, n_cascades - 1)
     else:
         idx = jnp.zeros(view_depth.shape, jnp.int32)
-    idx = jnp.clip(idx, 0, n_cascades - 1)
-    vp = vps[idx]
     s = quads.shape[-2]
+    # per-pixel [4,4] matrix gathers (vps[idx]) cost ~25 ms at 540p; instead
+    # select small per-cascade SCALARS by one-hot and project by all cascades
+    oh = (idx[..., None] == jnp.arange(n_cascades)).astype(jnp.float32)
     if normal is not None:
-        radius = 1.0 / jnp.maximum(jnp.abs(vp[..., 0, 0]), 1e-9)
-        texel_world = 2.0 * radius / s
+        radii = 1.0 / jnp.maximum(jnp.abs(vps[:, 0, 0]), 1e-9)  # [C]
+        radius_px = oh @ radii
+        texel_world = 2.0 * radius_px / s
         world_pos = world_pos + normal * (1.5 * texel_world)[..., None]
     hp = jnp.concatenate([world_pos, jnp.ones_like(world_pos[..., :1])], -1)
-    clip = jnp.einsum("...ij,...j->...i", vp, hp)
+    all_vp = jnp.transpose(vps, (0, 2, 1)).reshape(n_cascades * 4, 4).T
+    clip_all = (hp @ all_vp).reshape(hp.shape[:-1] + (n_cascades, 4))
+    clip = jnp.einsum("...c,...ck->...k", oh, clip_all)
     ndc = clip[..., :3]
     uv = jnp.stack([ndc[..., 0] * 0.5 + 0.5, 0.5 - ndc[..., 1] * 0.5], -1)
     in_map = jnp.all((uv >= 0.0) & (uv <= 1.0), axis=-1)
     base = uv * s - 0.5
+    flat = quads.reshape(n_cascades * s * s, 4)
+    cbase = idx * (s * s)
 
     if angular_extent is not None:
         # PCSS-lite for directional lights: penumbra ∝ angular extent ×
         # (receiver − blocker) light-space depth difference
         def sample(p):
-            return quads[idx, p[..., 1], p[..., 0], 0]
+            return flat[cbase + p[..., 1] * s + p[..., 0], 0]
 
         pc = jnp.clip(jnp.round(base).astype(jnp.int32), 0, s - 1)
         d_blocker = sample(pc)
@@ -558,7 +578,7 @@ def uni_cascade_visibility(
         return jnp.where(in_map, vis, 1.0)
 
     def quad_at(p):
-        return quads[idx, p[..., 1], p[..., 0], :]
+        return flat[cbase + p[..., 1] * s + p[..., 0], :]
 
     vis = _pcf_4tap_quad(quad_at, base, s, ndc[..., 2])
     return jnp.where(in_map, vis, 1.0)

@@ -179,8 +179,6 @@ def geometry_pass(
     pm_prev = projection_matrix(cam_prev, w, h, None, orthographic=ortho)
     vp_prev = pm_prev @ vm_prev
 
-    tri_clip = project_corners(scene.tri_pos, vp)
-
     # fused raster: attributes are fetched per (tile, candidate) inside the
     # tile loop and interpolated at winner selection. Corner-major [T,60]
     # packing (20 attrs per corner) — no per-frame gather at all.
@@ -204,11 +202,12 @@ def geometry_pass(
     if config.raster_backend == "pallas":
         from . import raster_pallas
 
-        out, near, valid = raster_pallas.rasterize_attributes(
-            tri_clip, scene.tri_active, None, packed, h, w, corner_major=True
+        out, near, valid = raster_pallas.rasterize_attributes_pos(
+            scene.tri_pos, scene.tri_active, packed, vp, h, w
         )
     else:
         # XLA fallback (CPU oracle): identity corner indices
+        tri_clip = project_corners(scene.tri_pos, vp)
         idx = jnp.arange(3 * t, dtype=jnp.int32).reshape(t, 3)
         out, near, valid = rasterlib.rasterize_attributes(
             tri_clip, scene.tri_active, idx, packed.reshape(3 * t, 20), h, w

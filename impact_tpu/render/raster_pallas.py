@@ -70,6 +70,199 @@ COARSE_FACTOR = 4
 _N_WINDOWS = 4  # 2 fine ranges + 2 coarse ranges per tile
 
 
+# --- SoA (componentwise) prologue -------------------------------------------
+# Every [T,3,4]/[T,3,3] intermediate tiles its 3- or 4-wide minor dim to 128
+# lanes (a 32-43x memory blowup); clip+plane on those layouts measured ~8.5 ms
+# per view at bench scale (devtools/probe_prologue3.py) — the dominant raster
+# cost. The SoA path keeps every quantity a flat [T] array.
+
+
+def _project_soa(tri_pos9, vp):
+    """World corner positions [T,9] × vp[4,4] → per-corner clip components
+    (four lists of three [T] arrays: x, y, z, w)."""
+    vx, vy, vz, vw = [], [], [], []
+    for c in range(3):
+        px = tri_pos9[:, 3 * c]
+        py = tri_pos9[:, 3 * c + 1]
+        pz = tri_pos9[:, 3 * c + 2]
+        vx.append(vp[0, 0] * px + vp[0, 1] * py + vp[0, 2] * pz + vp[0, 3])
+        vy.append(vp[1, 0] * px + vp[1, 1] * py + vp[1, 2] * pz + vp[1, 3])
+        vz.append(vp[2, 0] * px + vp[2, 1] * py + vp[2, 2] * pz + vp[2, 3])
+        vw.append(vp[3, 0] * px + vp[3, 1] * py + vp[3, 2] * pz + vp[3, 3])
+    return vx, vy, vz, vw
+
+
+def _clip_near_soa(vx, vy, vz, vw, act, eps=1e-6, need_bary=False):
+    """Componentwise near-plane clip (same semantics as
+    raster.clip_triangles_near). Returns (cx, cy, cz, cw) lists of three
+    [2T] arrays, bary[i][c] (3x3 lists of [2T], or None), act2 [2T]."""
+    inside = [vz[i] > eps for i in range(3)]
+    count = (
+        inside[0].astype(jnp.int32)
+        + inside[1].astype(jnp.int32)
+        + inside[2].astype(jnp.int32)
+    )
+    # first inside / first outside vertex indices
+    k1 = jnp.where(inside[0], 0, jnp.where(inside[1], 1, 2))
+    k2 = jnp.where(~inside[0], 0, jnp.where(~inside[1], 1, 2))
+
+    def sel(k, comps, i):
+        s = k + i
+        s = jnp.where(s >= 3, s - 3, s)
+        return jnp.where(
+            s == 0, comps[0], jnp.where(s == 1, comps[1], comps[2])
+        )
+
+    comps = (vx, vy, vz, vw)
+
+    def rot(k):
+        """corner components rotated so vertex k comes first: [4][3] of [T]"""
+        return [[sel(k, q, i) for i in range(3)] for q in comps]
+
+    def rot_bary(k):
+        """bary[i][c] of the rotated corners (one-hot of source index)."""
+        return [
+            [
+                (jnp.where(k + i >= 3, k + i - 3, k + i) == c).astype(
+                    vx[0].dtype
+                )
+                for c in range(3)
+            ]
+            for i in range(3)
+        ]
+
+    def lerp_t(za, zb):
+        d = za - zb
+        tt = za / jnp.where(jnp.abs(d) < 1e-12, 1e-12, d)
+        return jnp.clip(tt, 0.0, 1.0)
+
+    def mix(a, b, tt):
+        return a + tt * (b - a)
+
+    # case count==1: inside vertex first; clip both edges to the near plane
+    r1 = rot(k1)
+    t_ab = lerp_t(r1[2][0], r1[2][1])
+    t_ca = lerp_t(r1[2][0], r1[2][2])
+    tri1 = [
+        [q[0], mix(q[0], q[1], t_ab), mix(q[0], q[2], t_ca)] for q in r1
+    ]
+
+    # case count==2: outside vertex first (a outside; b, c inside)
+    r2 = rot(k2)
+    t1 = lerp_t(r2[2][1], r2[2][0])  # edge b→a
+    t2 = lerp_t(r2[2][2], r2[2][0])  # edge c→a
+    jab = [mix(q[1], q[0], t1) for q in r2]
+    jca = [mix(q[2], q[0], t2) for q in r2]
+    quad1 = [[jab[qi], r2[qi][1], r2[qi][2]] for qi in range(4)]
+    quad2 = [[jab[qi], r2[qi][2], jca[qi]] for qi in range(4)]
+
+    c2m = count == 2
+    c3m = count == 3
+    out1 = [
+        [
+            jnp.where(
+                c3m, comps[qi][i],
+                jnp.where(c2m, quad1[qi][i], tri1[qi][i]),
+            )
+            for i in range(3)
+        ]
+        for qi in range(4)
+    ]
+    act1 = act & (count > 0)
+    act2_ = act & c2m
+    outx = [jnp.concatenate([out1[0][i], quad2[0][i]]) for i in range(3)]
+    outy = [jnp.concatenate([out1[1][i], quad2[1][i]]) for i in range(3)]
+    outz = [jnp.concatenate([out1[2][i], quad2[2][i]]) for i in range(3)]
+    outw = [jnp.concatenate([out1[3][i], quad2[3][i]]) for i in range(3)]
+    act_out = jnp.concatenate([act1, act2_])
+
+    bary = None
+    if need_bary:
+        b1r = rot_bary(k1)
+        b2r = rot_bary(k2)
+        tri1_b = [
+            [
+                b1r[0][c],
+                mix(b1r[0][c], b1r[1][c], t_ab),
+                mix(b1r[0][c], b1r[2][c], t_ca),
+            ]
+            for c in range(3)
+        ]
+        jab_b = [mix(b2r[1][c], b2r[0][c], t1) for c in range(3)]
+        jca_b = [mix(b2r[2][c], b2r[0][c], t2) for c in range(3)]
+        quad1_b = [[jab_b[c], b2r[1][c], b2r[2][c]] for c in range(3)]
+        quad2_b = [[jab_b[c], b2r[2][c], jca_b[c]] for c in range(3)]
+        eye = [[1.0 if i == c else 0.0 for c in range(3)] for i in range(3)]
+        out1_b = [
+            [
+                jnp.where(
+                    c3m,
+                    jnp.full_like(vx[0], eye[i][c]),
+                    jnp.where(c2m, quad1_b[c][i], tri1_b[c][i]),
+                )
+                for c in range(3)
+            ]
+            for i in range(3)
+        ]
+        bary = [
+            [
+                jnp.concatenate([out1_b[i][c], quad2_b[c][i]])
+                for c in range(3)
+            ]
+            for i in range(3)
+        ]
+    return (outx, outy, outz, outw), bary, act_out
+
+
+def _plane_soa(cx, cy, cz, cw, act2, height, width, cull_backfaces):
+    """_plane_coefficients from componentwise clipped corners."""
+    sx, sy, z, valid = [], [], [], []
+    for i in range(3):
+        v = cw[i] > 1e-8
+        iw = 1.0 / jnp.where(v, cw[i], 1.0)
+        sx.append((cx[i] * iw * 0.5 + 0.5) * width)
+        sy.append((0.5 - cy[i] * iw * 0.5) * height)
+        z.append(cz[i] * iw)
+        valid.append(v)
+    act = act2 & valid[0] & valid[1] & valid[2]
+    area = _edge(sx[0], sy[0], sx[1], sy[1], sx[2], sy[2])
+    if cull_backfaces:
+        act = act & (area < -1e-12)
+    else:
+        act = act & (jnp.abs(area) > 1e-12)
+
+    xmin = jnp.minimum(sx[0], jnp.minimum(sx[1], sx[2]))
+    xmax = jnp.maximum(sx[0], jnp.maximum(sx[1], sx[2]))
+    ymin = jnp.minimum(sy[0], jnp.minimum(sy[1], sy[2]))
+    ymax = jnp.maximum(sy[0], jnp.maximum(sy[1], sy[2]))
+    act = act & (xmax >= 0) & (xmin < width) & (ymax >= 0) & (ymin < height)
+
+    ia = 1.0 / jnp.where(jnp.abs(area) > 1e-12, area, 1.0)
+    ax, ay = sx[0], sy[0]
+    bx, by = sx[1], sy[1]
+    cx_, cy_ = sx[2], sy[2]
+    a0 = -(cy_ - by) * ia
+    b0 = (cx_ - bx) * ia
+    c0 = (-by * (cx_ - bx) + bx * (cy_ - by)) * ia
+    a1 = -(ay - cy_) * ia
+    b1 = (ax - cx_) * ia
+    c1 = (-cy_ * (ax - cx_) + cx_ * (ay - cy_)) * ia
+    za = a0 * (z[0] - z[2]) + a1 * (z[1] - z[2])
+    zb = b0 * (z[0] - z[2]) + b1 * (z[1] - z[2])
+    zc = c0 * (z[0] - z[2]) + c1 * (z[1] - z[2]) + z[2]
+    iws = [1.0 / jnp.maximum(w, 1e-8) for w in cw]
+
+    c0 = jnp.where(act, c0, -1.0)
+    a0 = jnp.where(act, a0, 0.0)
+    b0 = jnp.where(act, b0, 0.0)
+
+    geom = [a0, b0, c0, a1, b1, c1, za, zb, zc, iws[0], iws[1], iws[2]]
+    near_z = jnp.where(
+        act, jnp.minimum(z[0], jnp.minimum(z[1], z[2])), jnp.inf
+    )
+    return geom, act, (xmin, xmax, ymin, ymax), near_z
+
+
 def _plane_coefficients(clip2, act2, height, width, cull_backfaces):
     """Vectorized per-clipped-triangle screen setup."""
     sx, sy, z, valid = _screen_coords(clip2, height, width)  # [T2,3]
@@ -124,14 +317,25 @@ def _bin(
     (ranges i32[n_tiles,8], payload_T f32[R, P_pad], big_T f32[R, 128],
     big_mask f32[1,128], n_dropped, th, tw).
     """
-    t2 = clip2.shape[0]
+    geom, act, bbox, near_z = _plane_coefficients(
+        clip2, act2, height, width, cull_backfaces
+    )
+    return _bin_planes(
+        geom, act, bbox, near_z, height, width, tile, k_per_range,
+        big_budget, attr_corners, n_first,
+    )
+
+
+def _bin_planes(
+    geom, act, bbox, near_z, height, width, tile, k_per_range, big_budget,
+    attr_corners, n_first,
+):
+    """Binning from precomputed screen planes (all flat [T2] arrays)."""
+    (xmin, xmax, ymin, ymax) = bbox
+    t2 = act.shape[0]
     th = -(-height // tile)
     tw = -(-width // tile)
     n_tiles = th * tw
-
-    geom, act, (xmin, xmax, ymin, ymax), near_z = _plane_coefficients(
-        clip2, act2, height, width, cull_backfaces
-    )
 
     tx0 = jnp.clip(jnp.floor(xmin / tile).astype(jnp.int32), 0, tw - 1)
     tx1 = jnp.clip(jnp.floor(xmax / tile).astype(jnp.int32), 0, tw - 1)
@@ -162,7 +366,7 @@ def _bin(
         jnp.where(medium, n_tiles + cy0 * tcw + cx0, n_tiles + n_ctiles),
     )
 
-    na = attr_corners.shape[1] if attr_corners is not None else 0
+    na = len(attr_corners) if attr_corners is not None else 0
     rows_total = GEOM_ROWS + na
     rows_pad = -(-rows_total // 8) * 8  # Mosaic: slice dims multiple of 8
     # pad so the last range's DMA window (1 + ceil(k/128) blocks from its
@@ -197,12 +401,16 @@ def _bin(
             payload, ((0, rows_pad - GEOM_ROWS), (0, p_pad - n_first))
         )
     else:
+        # attribute path: sort (key, id), pay ONE row gather for the 72 rows.
+        # (Chunked 13-op sorts carrying the rows through would avoid the
+        # gather, but each extra multi-operand sort adds ~2 min of XLA compile
+        # — measured >15 min for 6 of them — for a few ms of runtime.)
+        # ``attr_corners`` is a LIST of 1D [T2] rows (2D column extraction
+        # would be a strided relayout).
         key_s, order = jax.lax.sort(
             (key, jnp.arange(n_first, dtype=jnp.int32)), num_keys=1
         )
-        full = jnp.concatenate(
-            [jnp.stack(geom, axis=-1), attr_corners], axis=-1
-        )  # [T2, R]
+        full = jnp.stack(list(geom) + list(attr_corners), axis=-1)  # [T2, R]
         payload = full[order].T  # ONE row gather + transpose
         payload = jnp.pad(
             payload, ((0, rows_pad - rows_total), (0, p_pad - n_first))
@@ -282,67 +490,99 @@ def _bin(
 
 
 def _make_kernel(tile, n_blocks, tw, rows, n_attr, p_pad):
-    """Kernel factory. ``n_attr`` == 0 -> depth-only."""
+    """Kernel factory. ``n_attr`` == 0 -> depth-only.
+
+    Grid steps are SEQUENTIAL on one TensorCore, and the per-step floor (4 DMA
+    round trips + loop overhead, ~12 µs measured at tile=16/512²) dominates
+    the whole raster at fine tilings. Two mitigations baked in here: candidate
+    windows are DOUBLE-BUFFERED (step i starts step i+1's DMAs before waiting
+    on its own), and callers use 32-px tiles (4x fewer steps)."""
     s2 = tile * tile
     oc = 2 * n_attr + 8 if n_attr else 0
 
     def kernel(ranges_ref, payload, big_rows, big_mask,
                out_ref, data_s, sems):
         i = pl.program_id(0)
+        nsteps = pl.num_programs(0)
+        slot = jax.lax.rem(i, 2)
+        nxt = jax.lax.rem(i + 1, 2)
         x0 = (jax.lax.rem(i, tw) * tile).astype(jnp.float32)
         y0 = (jax.lax.div(i, tw) * tile).astype(jnp.float32)
+
+        def start_dmas(step, buf):
+            for r in range(_N_WINDOWS):
+                s = ranges_ref[step * 8 + r]
+                a = s - jax.lax.rem(s, _LANES)
+                pltpu.make_async_copy(
+                    payload.at[pl.ds(a // _LANES, n_blocks)],
+                    data_s.at[buf, r], sems.at[buf, r],
+                ).start()
+
+        @pl.when(i == 0)
+        def _():
+            start_dmas(i, slot)
+
+        @pl.when(i + 1 < nsteps)
+        def _():
+            start_dmas(i + 1, nxt)
 
         aligned = []
         for r in range(_N_WINDOWS):
             s = ranges_ref[i * 8 + r]
-            a = s - jax.lax.rem(s, _LANES)
-            aligned.append(a)
-            pltpu.make_async_copy(
-                payload.at[pl.ds(a // _LANES, n_blocks)],
-                data_s.at[r], sems.at[r],
-            ).start()
+            aligned.append(s - jax.lax.rem(s, _LANES))
 
         pc = jax.lax.broadcasted_iota(jnp.int32, (s2, 1), 0)
         px = x0 + (pc % tile).astype(jnp.float32) + 0.5
         py = y0 + (pc // tile).astype(jnp.float32) + 0.5
+        pxy = jnp.concatenate([px, py, jnp.ones_like(px)], axis=1)  # [s2,3]
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
 
         def eval_block(geo, gidx, s, cnt, carry):
-            """geo: [R,128] candidate block; gidx [1,128] payload indices."""
-            b0 = geo[0:1, :] * px + geo[1:2, :] * py + geo[2:3, :]
-            b1 = geo[3:4, :] * px + geo[4:5, :] * py + geo[5:6, :]
+            """geo: [R,128] candidate block; gidx [1,128] payload indices.
+
+            The three barycentric/depth screen planes are evaluated as ONE
+            [s2,3] x [3,512] MXU matmul (b0 | b1 | b2 | z on the lane axis)
+            instead of 9 broadcast VPU multiplies — the kernel is eval-bound
+            and the VPU was the bottleneck. The carry is LANE-PARALLEL
+            (per-lane running min); the cross-lane reduce happens once per
+            tile after all blocks."""
+            def plane(rows3):
+                return jax.lax.dot_general(
+                    pxy, rows3,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [s2, 128]
+
+            b0 = plane(geo[0:3, :])
+            b1 = plane(geo[3:6, :])
+            z = plane(geo[6:9, :])
             b2 = 1.0 - b0 - b1
-            z = geo[6:7, :] * px + geo[7:8, :] * py + geo[8:9, :]
             have = (gidx >= s) & (gidx < s + cnt)
-            cov = (b0 >= 0) & (b1 >= 0) & (b2 >= 0) & (z >= 0) & (z <= 1) & have
+            m = jnp.minimum(b0, jnp.minimum(b1, b2))
+            cov = (m >= 0) & (z >= 0) & (z <= 1) & have
             zm = jnp.where(cov, z, _INF)
             best_z, best_i = carry
-            bz = jnp.min(zm, axis=1, keepdims=True)  # [S^2,1]
-            upd = bz < best_z
-            best_z2 = jnp.where(upd, bz, best_z)
             if n_attr:
-                bi = jnp.min(
-                    jnp.where(zm <= bz, gidx, jnp.int32(0x7FFFFFFF)),
-                    axis=1, keepdims=True,
+                best_i = jnp.where(
+                    zm < best_z, jnp.broadcast_to(gidx, zm.shape), best_i
                 )
-                best_i = jnp.where(upd, bi, best_i)
-            return best_z2, best_i
+            return jnp.minimum(best_z, zm), best_i
 
-        best_z = jnp.full((s2, 1), _INF, jnp.float32)
-        best_i = jnp.full((s2, 1), -1, jnp.int32)
+        best_z = jnp.full((s2, _LANES), _INF, jnp.float32)
+        best_i = jnp.full((s2, _LANES), 0x7FFFFFFF, jnp.int32)
         for r in range(_N_WINDOWS):
             s = ranges_ref[i * 8 + r]
             cnt = ranges_ref[i * 8 + 4 + r]
             a = aligned[r]
             pltpu.make_async_copy(
                 payload.at[pl.ds(a // _LANES, n_blocks)],
-                data_s.at[r], sems.at[r],
+                data_s.at[slot, r], sems.at[slot, r],
             ).wait()
             for j in range(n_blocks):
                 gidx = a + j * _LANES + lane
 
                 def do(carry, r=r, j=j, gidx=gidx, s=s, cnt=cnt):
-                    geo = data_s[r, j]
+                    geo = data_s[slot, r, j]
                     return eval_block(geo, gidx, s, cnt, carry)
 
                 best_z, best_i = jax.lax.cond(
@@ -358,11 +598,17 @@ def _make_kernel(tile, n_blocks, tw, rows, n_attr, p_pad):
             p_pad, jnp.int32(2 * _LANES), (best_z, best_i),
         )
 
+        # ONE cross-lane reduce per tile
+        bz = jnp.min(best_z, axis=1, keepdims=True)  # [s2,1]
         if not n_attr:
-            out_ref[0, 0, :] = jnp.where(
-                best_z[:, 0] >= _INF, 1.0, best_z[:, 0]
-            )
+            out_ref[0, 0, :] = jnp.where(bz[:, 0] >= _INF, 1.0, bz[:, 0])
             return
+        bi = jnp.min(
+            jnp.where(best_z <= bz, best_i, jnp.int32(0x7FFFFFFF)),
+            axis=1, keepdims=True,
+        )
+        best_z = bz
+        best_i = jnp.where(bz < _INF, bi, -1)
 
         # ---- winner payload via one-hot MXU selects over the same blocks ----
         valid = best_i >= 0
@@ -379,7 +625,7 @@ def _make_kernel(tile, n_blocks, tw, rows, n_attr, p_pad):
                     # counted by the range that actually owns it
                     have = (gidx >= s) & (gidx < s + cnt)
                     oh = ((best_i == gidx) & have).astype(jnp.float32)
-                    blk = data_s[r, j]  # [R,128]
+                    blk = data_s[slot, r, j]  # [R,128]
                     return acc + jax.lax.dot_general(
                         oh, blk,
                         dimension_numbers=(((1,), (1,)), ((), ())),
@@ -454,8 +700,8 @@ def _run(ranges, payload, big_rows, big_mask, th, tw, tile, k_per_range,
         ],
         out_specs=out_spec,
         scratch_shapes=[
-            pltpu.VMEM((_N_WINDOWS, n_blocks, rows, _LANES), jnp.float32),
-            pltpu.SemaphoreType.DMA((_N_WINDOWS,)),
+            pltpu.VMEM((2, _N_WINDOWS, n_blocks, rows, _LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, _N_WINDOWS)),
         ],
     )
     return pl.pallas_call(
@@ -525,20 +771,18 @@ def rasterize_attributes(
             jnp.concatenate([vert_attrs[tri_indices[:, c]]] * 2, axis=0)
             for c in range(3)
         ]
-    # attrs of the CLIPPED corners: attr_i = Σ_j bary2[:,i,j] · corner_j
-    attr_flat = jnp.concatenate(
-        [
-            bary2[:, i, 0:1] * ca[0]
-            + bary2[:, i, 1:2] * ca[1]
-            + bary2[:, i, 2:3] * ca[2]
-            for i in range(3)
-        ],
-        axis=-1,
-    )  # [T2, 3A]
+    # attrs of the CLIPPED corners as a LIST of 1D rows (sort operands):
+    # attr row (i, j) = Σ_c bary2[:,i,c] · corner_c[:,j]
+    bw = [[bary2[:, i, c] for c in range(3)] for i in range(3)]
+    attr_rows = [
+        bw[i][0] * ca[0][:, j] + bw[i][1] * ca[1][:, j] + bw[i][2] * ca[2][:, j]
+        for i in range(3)
+        for j in range(a_dim)
+    ]
 
     ranges, payload, big_rows, big_mask, n_drop, th, tw = _bin(
         clip2, act2, height, width, tile, k_per_range, big_budget,
-        cull_backfaces, attr_flat, n_first=t,
+        cull_backfaces, attr_rows, n_first=t,
     )
     out = _run(ranges, payload, big_rows, big_mask, th, tw, tile,
                k_per_range, a_dim, interpret)
@@ -547,6 +791,103 @@ def rasterize_attributes(
     near = full[..., a_dim : 2 * a_dim]
     valid = full[..., 2 * a_dim + 1] > 0.5
     return interp, near, valid
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "height", "width", "tile", "k_per_range", "big_budget",
+        "cull_backfaces", "interpret",
+    ),
+)
+def rasterize_attributes_pos(
+    tri_pos9,  # f32[T,9] world corner positions (corner-major)
+    tri_active,  # bool[T]
+    vert_attrs,  # f32[T, 3A] corner-major attributes
+    vp,  # f32[4,4] view-projection
+    height: int,
+    width: int,
+    *,
+    tile: int = 16,
+    k_per_range: int = 128,
+    big_budget: int = 128,
+    cull_backfaces: bool = True,
+    interpret: bool = False,
+):
+    """SoA-prologue attribute raster: projection, near clip, and screen-plane
+    setup run on flat [T] component arrays (the [T,3,4] forms tile their
+    minor dims to 128 lanes — a 32-43x memory blowup measured at ~8.5 ms per
+    view, devtools/probe_prologue3.py). Output identical to
+    rasterize_attributes(project_corners(tri_pos9, vp), ...)."""
+    t = tri_pos9.shape[0]
+    vx, vy, vz, vw = _project_soa(tri_pos9, vp)
+    (cx, cy, cz, cw), bary, act2 = _clip_near_soa(
+        vx, vy, vz, vw, tri_active, need_bary=True
+    )
+    a_dim = vert_attrs.shape[1] // 3
+    ca = [
+        jnp.concatenate([vert_attrs[:, c * a_dim : (c + 1) * a_dim]] * 2,
+                        axis=0)
+        for c in range(3)
+    ]
+    attr_rows = [
+        bary[i][0] * ca[0][:, j] + bary[i][1] * ca[1][:, j]
+        + bary[i][2] * ca[2][:, j]
+        for i in range(3)
+        for j in range(a_dim)
+    ]
+    geom, act, bbox, near_z = _plane_soa(
+        cx, cy, cz, cw, act2, height, width, cull_backfaces
+    )
+    ranges, payload, big_rows, big_mask, n_drop, th, tw = _bin_planes(
+        geom, act, bbox, near_z, height, width, tile, k_per_range,
+        big_budget, attr_rows, n_first=t,
+    )
+    out = _run(ranges, payload, big_rows, big_mask, th, tw, tile,
+               k_per_range, a_dim, interpret)
+    full = _untile(out, th, tw, tile, height, width)
+    interp = full[..., 0:a_dim]
+    near = full[..., a_dim : 2 * a_dim]
+    valid = full[..., 2 * a_dim + 1] > 0.5
+    return interp, near, valid
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "height", "width", "tile", "k_per_range", "big_budget",
+        "cull_backfaces", "interpret",
+    ),
+)
+def rasterize_depth_pos(
+    tri_pos9,  # f32[T,9] world corner positions (corner-major)
+    tri_active,  # bool[T]
+    vp,  # f32[4,4] view-projection
+    height: int,
+    width: int,
+    *,
+    tile: int = 16,
+    k_per_range: int = 128,
+    big_budget: int = 128,
+    cull_backfaces: bool = True,
+    interpret: bool = False,
+):
+    """SoA-prologue depth raster (shadow maps). Returns depth f32[H,W]."""
+    t = tri_pos9.shape[0]
+    vx, vy, vz, vw = _project_soa(tri_pos9, vp)
+    (cx, cy, cz, cw), _, act2 = _clip_near_soa(
+        vx, vy, vz, vw, tri_active, need_bary=False
+    )
+    geom, act, bbox, near_z = _plane_soa(
+        cx, cy, cz, cw, act2, height, width, cull_backfaces
+    )
+    ranges, payload, big_rows, big_mask, n_drop, th, tw = _bin_planes(
+        geom, act, bbox, near_z, height, width, tile, k_per_range,
+        big_budget, None, n_first=t,
+    )
+    out = _run(ranges, payload, big_rows, big_mask, th, tw, tile,
+               k_per_range, 0, interpret)
+    return _untile(out[:, 0, :], th, tw, tile, height, width)
 
 
 @functools.partial(

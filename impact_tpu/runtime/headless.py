@@ -169,17 +169,70 @@ class HeadlessRuntime:
         self._gizmo_overlay = jax.jit(gizmo_overlay, static_argnames=("kinds",))
         self.visible_gizmos: tuple = ()  # e.g. ("reference_frame_axes",)
 
+        # fused halves: geometry side (scene+G-buffer+shadow maps) and shading
+        # side (shade+post) — each jit dispatch through the axon tunnel costs
+        # ~3 ms of host latency, so 6 stage dispatches/frame were ~20 ms of
+        # pure overhead. The per-stage jits above stay for profiling
+        # (devtools/profile_stages.py) and the stage-timing entries in bench.
+        def render_a(sim):
+            scene = scene_of(sim)
+            gb = geometry_pass(
+                scene, params.camera, params.camera, sim.render.frame_index, rc
+            )
+            omni, uni = shadow_pass(scene, params.lights, params.camera, rc)
+            return gb, omni, uni
+
+        def render_b(gb, omni, uni, tex, rstate):
+            lum = deferred_shade(
+                gb, params.lights, params.camera, omni, uni, rc, tex
+            )
+            return postprocess(lum, gb.motion, rstate, rc)
+
+        self._render_a = jax.jit(render_a)
+        self._render_b = jax.jit(render_b)
+
         def render(sim):
-            scene = self._scene_of(sim)
-            gb = self._geometry(scene, sim.render.frame_index)
-            omni, uni = self._shadows(scene)
-            lum = self._shade(gb, omni, uni, self._textures)
-            img, hdr, rstate = self._post(lum, gb.motion, sim.render)
+            gb, omni, uni = self._render_a(sim)
+            img, hdr, rstate = self._render_b(
+                gb, omni, uni, self._textures, sim.render
+            )
             if self.visible_gizmos:
                 img = self._gizmo_overlay(img, sim, tuple(self.visible_gizmos))
             return img, sim._replace(render=rstate)
 
         self._render = render
+
+        # ONE-dispatch frame: engine step + full render in a single program.
+        # The tunnel's per-dispatch floor is ~3 ms for small args and ~30 ms
+        # for a full-SimState program, so the 1-step+2-render dispatch chain
+        # costs ~60-90 ms of pure host overhead per frame; the fused frame
+        # pays it once. (Compile is the sum of the parts.)
+        step_for_frame = make_engine_step(
+            self.params, self.config,
+            self.info["mesh_vert_cap"], self.info["mesh_tri_cap"],
+            **self._features,
+        )
+
+        def frame_fn(sim, textures):
+            sim = step_for_frame(sim, self.params)
+            gb, omni, uni = render_a(sim)
+            img, hdr, rstate = render_b(gb, omni, uni, textures, sim.render)
+            return img, sim._replace(render=rstate)
+
+        self._frame = jax.jit(frame_fn)
+
+    def step_and_render(self):
+        """Advance one step and render, as ONE device dispatch.
+
+        Returns the u8 image [H,W,3]; the headline bench loop uses this."""
+        self.apply_commands()
+        with self.timer.time("frame"):
+            img, self.sim = self._frame(self.sim, self._textures)
+            if self.visible_gizmos:
+                img = self._gizmo_overlay(
+                    img, self.sim, tuple(self.visible_gizmos)
+                )
+        return img
 
     # --- commands / checkpoint / reset ---------------------------------------
     def enqueue_command(self, category: str, action: str, value=None):

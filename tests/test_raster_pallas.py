@@ -191,3 +191,53 @@ def test_merged_quads_render_identically():
     # (coverage decided from different triangle planes) — same magnitude the
     # XLA-raster oracle shows between the two meshes
     assert diff.mean() <= 1e-3, f"{diff.sum()} px differ"
+
+
+def test_soa_prologue_matches_clip_path():
+    """The SoA (componentwise) prologue entry points must match the
+    clip-array entry points: same projection, clipping, and planes."""
+    from impact_tpu.render.pipeline import project_corners
+
+    h = w = 48
+    key = jax.random.PRNGKey(11)
+    verts, tri, active = _random_scene(key, n_tris=40)
+    # corner-major world positions + a quad crossing the near plane
+    tri_pos9 = verts[tri].reshape(tri.shape[0], 9)
+    f = 1.0 / np.tan(0.5)
+    a = 100.0 / (100.0 - 0.1)
+    b = -100.0 * 0.1 / (100.0 - 0.1)
+    vp = jnp.asarray(
+        [[f, 0, 0, 0], [0, f, 0, 0], [0, 0, -a, b], [0, 0, -1, 0]],
+        jnp.float32,
+    )
+
+    clip = project_corners(tri_pos9, vp)
+    d_ref = rp.rasterize_depth(
+        clip, active, h, w, k_per_range=32, big_budget=16,
+        cull_backfaces=False, interpret=True,
+    )
+    d_soa = rp.rasterize_depth_pos(
+        tri_pos9, active, vp, h, w, k_per_range=32, big_budget=16,
+        cull_backfaces=False, interpret=True,
+    )
+    ref, got = np.asarray(d_ref), np.asarray(d_soa)
+    both = (ref < 1.0) & (got < 1.0)
+    assert np.mean((ref < 1.0) == (got < 1.0)) > 0.995
+    np.testing.assert_allclose(got[both], ref[both], atol=1e-4)
+
+    attrs9 = jax.random.normal(jax.random.PRNGKey(5), (tri.shape[0], 9))
+    i_ref, n_ref, v_ref = rp.rasterize_attributes(
+        clip, active, None, attrs9, h, w, corner_major=True,
+        k_per_range=32, big_budget=16, cull_backfaces=False, interpret=True,
+    )
+    i_soa, n_soa, v_soa = rp.rasterize_attributes_pos(
+        tri_pos9, active, attrs9, vp, h, w,
+        k_per_range=32, big_budget=16, cull_backfaces=False, interpret=True,
+    )
+    vr, vs = np.asarray(v_ref), np.asarray(v_soa)
+    agree = vr & vs
+    assert np.mean(vr == vs) > 0.995
+    np.testing.assert_allclose(
+        np.asarray(i_soa)[agree], np.asarray(i_ref)[agree],
+        atol=1e-3, rtol=1e-3,
+    )
