@@ -122,7 +122,7 @@ def render_omni_shadow_cubemap(
             vp = proj @ view
             ds.append(rasterize_depth_pos(
                 tri_pos9, tri_active, vp, resolution, resolution,
-                cull_backfaces=False,
+                cull_backfaces=False, tile=32, k_per_range=256,
             ))
             vs.append(vp)
         return jnp.stack(ds), jnp.stack(vs)
@@ -168,7 +168,7 @@ def render_uni_shadow_map(
 
         depth = rasterize_depth_pos(
             tri_pos9, tri_active, vp, resolution, resolution,
-            cull_backfaces=False,
+            cull_backfaces=False, tile=32, k_per_range=256,
         )
         return depth, vp
     from .pipeline import project_corners
@@ -286,16 +286,29 @@ def omni_shadow_visibility(
             jnp.where(v[..., 2] >= 0, 4, 5),
         ),
     )
-    hp = jnp.concatenate([world_pos, jnp.ones_like(world_pos[..., :1])], -1)
-    # project by all 6 faces at once: [...,4] @ [4, 6*4]
-    all_vp = jnp.transpose(shadow_vps, (0, 2, 1)).reshape(6 * 4, 4).T  # [4,24]
-    clip6 = (hp @ all_vp).reshape(hp.shape[:-1] + (6, 4))
-    oh = (face[..., None] == jnp.arange(6)).astype(clip6.dtype)  # [...,6]
-    clip = jnp.einsum("...f,...fc->...c", oh, clip6)
-    w = jnp.maximum(clip[..., 3], 1e-8)
-    ndc = clip[..., :3] / w[..., None]
-    uv = jnp.stack([ndc[..., 0] * 0.5 + 0.5, 0.5 - ndc[..., 1] * 0.5], -1)
-    depth_ref = ndc[..., 2]
+    # componentwise projection by each face + flat one-hot select (matrix
+    # gathers and [...,6,4]/[...,4] forms lane-pad their minor dims 32x)
+    wx, wy, wz = world_pos[..., 0], world_pos[..., 1], world_pos[..., 2]
+
+    def proj_face(f, row):
+        m = shadow_vps[f]
+        return m[row, 0] * wx + m[row, 1] * wy + m[row, 2] * wz + m[row, 3]
+
+    def select_by_face(row):
+        out = proj_face(0, row)
+        for f in range(1, 6):
+            out = jnp.where(face == f, proj_face(f, row), out)
+        return out
+
+    cxp = select_by_face(0)
+    cyp = select_by_face(1)
+    czp = select_by_face(2)
+    cwp = jnp.maximum(select_by_face(3), 1e-8)
+    iwp = 1.0 / cwp
+    uv = jnp.stack(
+        [cxp * iwp * 0.5 + 0.5, 0.5 - cyp * iwp * 0.5], -1
+    )
+    depth_ref = czp * iwp
 
     # accept raw [6,S,S] or quad-packed [6,S,S,4] maps
     quads = shadow_depths if shadow_depths.ndim == 4 else quad_pack(shadow_depths)
@@ -545,20 +558,32 @@ def uni_cascade_visibility(
     else:
         idx = jnp.zeros(view_depth.shape, jnp.int32)
     s = quads.shape[-2]
-    # per-pixel [4,4] matrix gathers (vps[idx]) cost ~25 ms at 540p; instead
-    # select small per-cascade SCALARS by one-hot and project by all cascades
-    oh = (idx[..., None] == jnp.arange(n_cascades)).astype(jnp.float32)
+    # componentwise per-cascade projection + select (per-pixel [4,4] matrix
+    # gathers / [...,C,4] one-hot einsums lane-pad their minor dims 32x)
     if normal is not None:
         radii = 1.0 / jnp.maximum(jnp.abs(vps[:, 0, 0]), 1e-9)  # [C]
-        radius_px = oh @ radii
+        radius_px = radii[0]
+        for c in range(1, n_cascades):
+            radius_px = jnp.where(idx == c, radii[c], radius_px)
         texel_world = 2.0 * radius_px / s
         world_pos = world_pos + normal * (1.5 * texel_world)[..., None]
-    hp = jnp.concatenate([world_pos, jnp.ones_like(world_pos[..., :1])], -1)
-    all_vp = jnp.transpose(vps, (0, 2, 1)).reshape(n_cascades * 4, 4).T
-    clip_all = (hp @ all_vp).reshape(hp.shape[:-1] + (n_cascades, 4))
-    clip = jnp.einsum("...c,...ck->...k", oh, clip_all)
-    ndc = clip[..., :3]
-    uv = jnp.stack([ndc[..., 0] * 0.5 + 0.5, 0.5 - ndc[..., 1] * 0.5], -1)
+    wx, wy, wz = world_pos[..., 0], world_pos[..., 1], world_pos[..., 2]
+
+    def proj_c(c, row):
+        m = vps[c]
+        return m[row, 0] * wx + m[row, 1] * wy + m[row, 2] * wz + m[row, 3]
+
+    def select_c(row):
+        out = proj_c(0, row)
+        for c in range(1, n_cascades):
+            out = jnp.where(idx == c, proj_c(c, row), out)
+        return out
+
+    ndc_x = select_c(0)
+    ndc_y = select_c(1)
+    ndc_z = select_c(2)
+    uv = jnp.stack([ndc_x * 0.5 + 0.5, 0.5 - ndc_y * 0.5], -1)
+    ndc = jnp.stack([ndc_x, ndc_y, ndc_z], -1)
     in_map = jnp.all((uv >= 0.0) & (uv <= 1.0), axis=-1)
     base = uv * s - 0.5
     flat = quads.reshape(n_cascades * s * s, 4)

@@ -202,8 +202,12 @@ def geometry_pass(
     if config.raster_backend == "pallas":
         from . import raster_pallas
 
+        # 32-px tiles: with the MXU plane eval the kernel is bound by its
+        # ~3.4 µs/grid-step floor (DMA starts + Mosaic loop), so 4x fewer
+        # steps wins; k scales with tile area
         out, near, valid = raster_pallas.rasterize_attributes_pos(
-            scene.tri_pos, scene.tri_active, packed, vp, h, w
+            scene.tri_pos, scene.tri_active, packed, vp, h, w,
+            tile=32, k_per_range=256,
         )
     else:
         # XLA fallback (CPU oracle): identity corner indices
@@ -229,19 +233,26 @@ def geometry_pass(
     material = jnp.round(near[..., 19]).astype(jnp.int32)
     material = jnp.where(valid, material, -1)
 
-    # motion vectors in uv units (ref: MotionVector attachment)
-    hp_prev = jnp.concatenate(
-        [world_pos_prev, jnp.ones_like(world_pos_prev[..., :1])], -1
-    )
-    clip_prev = jnp.einsum("ij,hwj->hwi", vp_prev, hp_prev)
-    ndc_prev = clip_prev[..., :2] / jnp.maximum(clip_prev[..., 3:4], 1e-8)
-    hp_cur = jnp.concatenate([world_pos, jnp.ones_like(world_pos[..., :1])], -1)
+    # motion vectors in uv units (ref: MotionVector attachment).
+    # Componentwise projection: einsum("ij,hwj->hwi") materializes [H,W,4]
+    # forms whose 4-wide minor dim lane-pads 32x on TPU.
     vp_cur_unjittered = (
         projection_matrix(cam, w, h, None, orthographic=ortho) @ vm
     )
-    clip_cur = jnp.einsum("ij,hwj->hwi", vp_cur_unjittered, hp_cur)
-    ndc_cur = clip_cur[..., :2] / jnp.maximum(clip_cur[..., 3:4], 1e-8)
-    motion = (ndc_prev - ndc_cur) * jnp.array([0.5, -0.5])
+
+    def ndc_xy(wp, m):
+        x, y, z = wp[..., 0], wp[..., 1], wp[..., 2]
+        cx = m[0, 0] * x + m[0, 1] * y + m[0, 2] * z + m[0, 3]
+        cy = m[1, 0] * x + m[1, 1] * y + m[1, 2] * z + m[1, 3]
+        cw = m[3, 0] * x + m[3, 1] * y + m[3, 2] * z + m[3, 3]
+        iw = 1.0 / jnp.maximum(cw, 1e-8)
+        return cx * iw, cy * iw
+
+    px_prev, py_prev = ndc_xy(world_pos_prev, vp_prev)
+    px_cur, py_cur = ndc_xy(world_pos, vp_cur_unjittered)
+    motion = jnp.stack(
+        [(px_prev - px_cur) * 0.5, (py_prev - py_cur) * -0.5], axis=-1
+    )
     motion = jnp.where(valid[..., None], motion, 0.0)
 
     return GBuffer(
@@ -357,7 +368,16 @@ def deferred_shade(
     voxel-type texture arrays, voxel_types.rs)."""
     h, w = config.height, config.width
     vm = view_matrix(cam)
-    hp_cur = jnp.concatenate([gb.world_pos, jnp.ones_like(gb.world_pos[..., :1])], -1)
+
+    def view_row(wp, m, i):
+        """Row i of the view transform applied componentwise (einsum over a
+        [H,W,4] homogeneous array lane-pads its minor dim 32x on TPU)."""
+        return (
+            m[i, 0] * wp[..., 0]
+            + m[i, 1] * wp[..., 1]
+            + m[i, 2] * wp[..., 2]
+            + m[i, 3]
+        )
 
     if config.textured and textures is not None:
         from .textures import lod_from_scale, sample_triplanar, triplanar_normal
@@ -365,7 +385,7 @@ def deferred_shade(
         has_tex = gb.material >= 0
         layer = jnp.maximum(gb.material, 0)
         # mip level from the texel footprint of one pixel at this depth
-        view_depth = -jnp.einsum("ij,hwj->hwi", vm, hp_cur)[..., 2]
+        view_depth = -view_row(gb.world_pos, vm, 2)
         tex_size = textures.albedo.mips[0].shape[1]
         world_per_pixel = view_depth * (
             2.0 * jnp.tan(0.5 * cam.vertical_fov) / h
@@ -388,10 +408,20 @@ def deferred_shade(
 
     if config.ao_enabled:
         k = config.ao_downsample
-        vpos_h = jnp.einsum(
-            "ij,hwj->hwi", vm, hp_cur[::k, ::k]
-        )[..., :3]
-        vnorm = jnp.einsum("ij,hwj->hwi", vm[:3, :3], gb.normal[::k, ::k])
+        wp_k = gb.world_pos[::k, ::k]
+        vpos_h = jnp.stack(
+            [view_row(wp_k, vm, i) for i in range(3)], axis=-1
+        )
+        n_k = gb.normal[::k, ::k]
+        vnorm = jnp.stack(
+            [
+                vm[i, 0] * n_k[..., 0]
+                + vm[i, 1] * n_k[..., 1]
+                + vm[i, 2] * n_k[..., 2]
+                for i in range(3)
+            ],
+            axis=-1,
+        )
         occlusion = post.ambient_occlusion(
             vpos_h, vnorm, gb.valid[::k, ::k], cam.vertical_fov,
             sample_count=config.ao_sample_count,
@@ -406,7 +436,7 @@ def deferred_shade(
     else:
         occlusion = jnp.ones((h, w), jnp.float32)
 
-    view_depth = -jnp.einsum("ij,hwj->hwi", vm, hp_cur)[..., 2]
+    view_depth = -view_row(gb.world_pos, vm, 2)
     lum = shade(
         lights, gb.world_pos, gb.normal, gb.albedo, gb.f0, gb.roughness,
         gb.emissive, occlusion, cam.position, gb.valid,

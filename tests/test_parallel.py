@@ -239,3 +239,74 @@ class TestPodScaleSolver:
             np.asarray(out_cache.impulses), np.asarray(ref_cache.impulses),
             atol=1e-5, rtol=1e-5,
         )
+
+
+class TestPodScaleStep:
+    def test_sharded_step_at_1k_objects(self):
+        """Pod-scale shape check (VERDICT-r2 item 6): the FULL engine step
+        compiles and runs sharded at O=1024 objects on 8 devices, every
+        object-axis array is physically split (per-shard leading dim O/4),
+        and compiled temporaries stay within a small multiple of the
+        per-shard state - i.e. nothing materializes a global-O buffer per
+        device (the solver's segment-sum path replaces the [C,N] one-hot
+        incidence at this scale)."""
+        from impact_tpu.ecs import components as C
+        from impact_tpu.models import voxel_box_tumbler
+        from impact_tpu.parallel import replicate, shard_sim_state
+        from impact_tpu.parallel.mesh import sim_state_shardings
+        from impact_tpu.runtime import compile_scene
+        from impact_tpu.runtime.engine import make_engine_step
+        from impact_tpu.utils.config import EngineConfig
+
+        mesh = _mesh()
+        o_max = 1024
+        cfg = EngineConfig()
+        cfg.tpu.max_voxel_objects = o_max
+        cfg.tpu.max_bodies = o_max + 16
+        cfg.tpu.max_contacts = 4096
+        cfg.tpu.voxel_grid_size = 16
+        cfg.tpu.sdf_encoding = "i8"
+        cfg.tpu.solver_mode = "jacobi"
+        cfg.physics.simulator.initial_time_step_duration = 0.01
+        world = voxel_box_tumbler(n_boxes=6)
+        for eid in world.entities_with(C.VoxelBox):
+            for f in ("extent_x", "extent_y", "extent_z"):
+                world.set_field(eid, C.VoxelBox, f, 6.0)
+        build = compile_scene(world, cfg)
+        step = make_engine_step(
+            build.params, cfg, build.info["mesh_vert_cap"],
+            build.info["mesh_tri_cap"],
+        )
+        shardings = sim_state_shardings(mesh, build.sim)
+        params_shardings = jax.tree.map(
+            lambda _: NamedSharding(mesh, P()), build.params
+        )
+        step_sharded = jax.jit(
+            step, in_shardings=(shardings, params_shardings),
+            out_shardings=shardings,
+        )
+        sim_s = shard_sim_state(mesh, build.sim)
+        params_r = replicate(mesh, build.params)
+
+        # per-shard leading dims of the object-axis arrays are O/4
+        for arr in (sim_s.voxels.sdf, sim_s.voxels.vtype, sim_s.meshes.tri_pos):
+            shard_shape = arr.addressable_shards[0].data.shape
+            assert shard_shape[0] == o_max // 4, (arr.shape, shard_shape)
+
+        compiled = step_sharded.lower(sim_s, params_r).compile()
+        mem = compiled.memory_analysis()
+        if mem is not None and getattr(mem, "temp_size_in_bytes", 0):
+            # per-shard voxel state: sdf i8 + vtype i32 at [O/4, 16^3]
+            per_shard_state = sum(
+                int(np.prod(a.addressable_shards[0].data.shape))
+                * a.dtype.itemsize
+                for a in jax.tree.leaves(sim_s)
+            )
+            assert mem.temp_size_in_bytes < 8 * per_shard_state, (
+                f"temp {mem.temp_size_in_bytes} vs per-shard state "
+                f"{per_shard_state}: a global-O buffer is materializing"
+            )
+
+        out = compiled(sim_s, params_r)
+        assert np.isfinite(np.asarray(out.phys.bodies.position)).all()
+        assert int(np.asarray(jnp.sum(out.voxels.alive))) == 6
