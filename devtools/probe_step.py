@@ -38,7 +38,7 @@ def main():
     from impact_tpu.utils.config import EngineConfig
     from impact_tpu.physics.step import physics_step
     from impact_tpu.voxel.collision import voxel_contacts, merge_contact_buffers
-    from impact_tpu.physics.solver import solve_constraints
+    from impact_tpu.physics.solver import solve_contacts
 
     n_objects = int(os.environ.get("BENCH_OBJECTS", "64"))
     cfg = EngineConfig()
