@@ -100,6 +100,13 @@ class RenderConfig(NamedTuple):
     # compacted to this many before clipping — the render-side analog of the
     # reference's chunk culling + indirect draws
     max_triangles: int = 65536
+    # per-view culling (ref: impact_scene/src/lib.rs:160 frustum-culled
+    # instance buffering + voxel_chunk_culling.template.wgsl): the camera pass
+    # masks triangles whose bounding spheres are outside the view frustum
+    # (geometry/frustum.py planes); omni shadow passes mask casters beyond
+    # the light's range. Static shapes mean culling is masking — the win is
+    # fewer binned raster candidates, not smaller arrays.
+    view_culling: bool = True
     # "pallas" = the Pallas tile kernel (raster_pallas.py, TPU), "xla" = the
     # XLA tile-binned raster (raster.py, CPU oracle + fallback). Resolved
     # from "auto" by platform at config-build time (runtime/setup.py).
@@ -159,6 +166,43 @@ def project_corners(tri_pos9, vp):
     return jnp.stack(cols, axis=1)
 
 
+def triangle_bounding_spheres(tri_pos9):
+    """Per-triangle bounding spheres (centroid + max corner distance) from
+    corner-major world positions [T,9]. Used by the per-view frustum/range
+    culls (ref: impact_scene frustum culling over model bounding spheres)."""
+    c0 = tri_pos9[:, 0:3]
+    c1 = tri_pos9[:, 3:6]
+    c2 = tri_pos9[:, 6:9]
+    center = (c0 + c1 + c2) * (1.0 / 3.0)
+    rad = jnp.sqrt(
+        jnp.maximum(
+            jnp.sum((c0 - center) ** 2, axis=-1),
+            jnp.maximum(
+                jnp.sum((c1 - center) ** 2, axis=-1),
+                jnp.sum((c2 - center) ** 2, axis=-1),
+            ),
+        )
+    )
+    return center, rad
+
+
+def cull_scene_to_frustum(scene: RenderScene, view_proj) -> RenderScene:
+    """Mask ``tri_active`` to triangles whose bounding spheres intersect the
+    view frustum (ref: lib.rs:160 buffer_model_instances_and_bound_lights —
+    the reference frustum-culls instances per view; here the cull is exact
+    per-triangle since the flat corner-major scene has no instance gather).
+    ``tri_shadow`` is left untouched — shadow views cull separately."""
+    from ..geometry.frustum import (
+        frustum_planes_from_view_proj,
+        sphere_inside_frustum,
+    )
+
+    normals, disp = frustum_planes_from_view_proj(view_proj)
+    center, rad = triangle_bounding_spheres(scene.tri_pos)
+    vis = sphere_inside_frustum(normals, disp, center, rad)
+    return scene._replace(tri_active=scene.tri_active & vis)
+
+
 def geometry_pass(
     scene: RenderScene,
     cam: Camera,
@@ -175,6 +219,8 @@ def geometry_pass(
     vm = view_matrix(cam)
     pm = projection_matrix(cam, w, h, jitter, orthographic=ortho)
     vp = pm @ vm
+    if config.view_culling:
+        scene = cull_scene_to_frustum(scene, vp)
     vm_prev = view_matrix(cam_prev)
     pm_prev = projection_matrix(cam_prev, w, h, None, orthographic=ortho)
     vp_prev = pm_prev @ vm_prev
@@ -274,10 +320,18 @@ def shadow_pass(scene: RenderScene, lights: LightPools, cam: Camera, config: Ren
 
     shadow_tris = scene.tri_active & scene.tri_shadow
     backend = config.raster_backend
+    if config.view_culling:
+        # bound omni shadow work to casters inside the light's range
+        # (ref: bound_omnidirectional_lights_and_buffer_shadow_casting_models)
+        sph_center, sph_rad = triangle_bounding_spheres(scene.tri_pos)
 
     def omni_one(pos):
+        tris = shadow_tris
+        if config.view_culling:
+            d2 = jnp.sum((sph_center - pos[None, :]) ** 2, axis=-1)
+            tris = tris & (d2 <= (100.0 + sph_rad) ** 2)
         return render_omni_shadow_cubemap(
-            pos, scene.tri_pos, shadow_tris,
+            pos, scene.tri_pos, tris,
             config.shadow_map_resolution, backend=backend,
         )
 

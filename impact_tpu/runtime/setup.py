@@ -1054,6 +1054,7 @@ def render_config_from_engine_config(config: EngineConfig):
         backend = "pallas" if jax.default_backend() == "tpu" else "xla"
     return RenderConfig(
         raster_backend=backend,
+        view_culling=config.tpu.view_culling,
         exposure_iso=iso,
         relative_aperture=cam.relative_aperture,
         shutter_duration=cam.shutter_duration,

@@ -314,6 +314,9 @@ class TpuConfig:
     sky_luminance: tuple = (3000.0, 4500.0, 9000.0)  # constant-sky fallback
     steps_per_dispatch: int = 8  # lax.scan step batching in the headless loop
     raster_backend: str = "auto"  # "auto" | "pallas" | "xla" triangle raster
+    # per-view culling: camera-frustum triangle masking + omni shadow range
+    # masking (ref: impact_scene/src/lib.rs:160 frustum-culled instances)
+    view_culling: bool = True
     # renderable mesh-model entities (ref: impact_mesh setup + impact_material
     # setup/physical.rs — per-entity material components on mesh models)
     max_mesh_entities: int = 16

@@ -111,3 +111,65 @@ class TestFrustum:
         hi = jnp.array([[1.0, 1.0, -9.0], [32.0, 32.0, -9.0]])
         inside = frustum.aabb_inside_frustum(n, d, lo, hi)
         assert inside.tolist() == [True, False]
+
+
+class TestViewCulling:
+    """Per-view culling wiring (pipeline.cull_scene_to_frustum — ref:
+    impact_scene/src/lib.rs:160 frustum-culled instance buffering)."""
+
+    def _scene(self, tri_pos):
+        from impact_tpu.render.pipeline import RenderScene
+
+        t = tri_pos.shape[0]
+        z9 = jnp.zeros((t, 9), jnp.float32)
+        return RenderScene(
+            tri_pos=tri_pos, tri_pos_prev=tri_pos, tri_normal=z9,
+            tri_albedo=z9, tri_f0=z9, tri_roughness=jnp.zeros((t, 3)),
+            tri_emissive=z9, tri_material=jnp.zeros((t, 3), jnp.int32),
+            tri_active=jnp.ones(t, bool), tri_shadow=jnp.ones(t, bool),
+        )
+
+    def test_camera_frustum_masks_active_not_shadow(self):
+        from impact_tpu.render.camera import Camera, look_at, view_proj
+        from impact_tpu.render.pipeline import cull_scene_to_frustum
+
+        cam = Camera(
+            jnp.asarray([0.0, 0.0, 5.0], jnp.float32),
+            look_at((0.0, 0.0, 5.0), (0.0, 0.0, 0.0)),
+            jnp.asarray(np.pi / 3, jnp.float32),
+            jnp.asarray(0.1, jnp.float32),
+            jnp.asarray(100.0, jnp.float32),
+        )
+        vp = view_proj(cam, 64, 64)
+
+        def tri(cx, cy, cz):
+            return jnp.asarray(
+                [[cx - 0.5, cy, cz, cx + 0.5, cy, cz, cx, cy + 0.5, cz]],
+                jnp.float32,
+            )
+
+        tri_pos = jnp.concatenate(
+            [
+                tri(0.0, 0.0, 0.0),  # in view
+                tri(0.0, 0.0, 20.0),  # behind the camera
+                tri(0.0, 0.0, -300.0),  # beyond far
+                tri(500.0, 0.0, 0.0),  # far off-axis
+            ]
+        )
+        scene = self._scene(tri_pos)
+        culled = cull_scene_to_frustum(scene, vp)
+        assert culled.tri_active.tolist() == [True, False, False, False]
+        # shadow casters are culled per light view, not by the camera
+        assert culled.tri_shadow.tolist() == [True, True, True, True]
+
+    def test_triangle_bounding_spheres(self):
+        from impact_tpu.render.pipeline import triangle_bounding_spheres
+
+        tri = jnp.asarray([[0.0, 0.0, 0.0, 2.0, 0.0, 0.0, 0.0, 2.0, 0.0]])
+        center, rad = triangle_bounding_spheres(tri)
+        np.testing.assert_allclose(
+            np.asarray(center[0]), [2.0 / 3, 2.0 / 3, 0.0], atol=1e-6
+        )
+        corners = np.asarray(tri[0]).reshape(3, 3)
+        dmax = np.max(np.linalg.norm(corners - np.asarray(center[0]), axis=1))
+        np.testing.assert_allclose(float(rad[0]), dmax, rtol=1e-6)
