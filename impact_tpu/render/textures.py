@@ -327,3 +327,46 @@ def default_voxel_texture_arrays(n_types: int, size: int = 64):
         build_texture_array(np.stack(albedos)),
         build_texture_array(np.stack(normals)),
     )
+
+
+# --- image-file import (ref: impact_texture/src/import.rs) ----------------------
+
+
+def load_image_layer(
+    path_or_bytes, resolution: int | None = None, srgb: bool = True
+):
+    """Decode one PNG/JPEG image into a float [H,W,3] layer in linear color
+    (ref: import.rs:174 load_image_texture + processing.rs sRGB handling).
+    ``resolution`` resizes (box-filtered via PIL) so layers can stack into an
+    array; power-of-two sizes keep the mip chain exact."""
+    from ..utils.image import load_image
+
+    arr = load_image(path_or_bytes, mode="RGB").astype(np.float32) / 255.0
+    if resolution is not None and arr.shape[:2] != (resolution, resolution):
+        from PIL import Image
+
+        im = Image.fromarray((arr * 255.0 + 0.5).astype(np.uint8))
+        im = im.resize((resolution, resolution), Image.LANCZOS)
+        arr = np.asarray(im, np.float32) / 255.0
+    if srgb:  # decode sRGB → linear for shading (processing.rs)
+        arr = np.where(
+            arr <= 0.04045, arr / 12.92, ((arr + 0.055) / 1.055) ** 2.4
+        ).astype(np.float32)
+    return arr
+
+
+def texture_array_from_images(
+    sources, resolution: int = 256, srgb: bool = True,
+    generate_mipmaps: bool = True,
+) -> TextureArray:
+    """Load declared image textures (paths or raw bytes) into one mipmapped
+    texture array — the import pipeline analog of
+    import.rs:120 load_declared_image_textures. All layers are resized to
+    ``resolution`` (the reference instead requires equal dimensions and
+    fails; resizing suits fixed-shape TPU texture arrays)."""
+    if not sources:
+        raise ValueError("empty list of sources for texture array")
+    layers = np.stack(
+        [load_image_layer(s, resolution, srgb) for s in sources]
+    )
+    return build_texture_array(layers, generate_mipmaps)

@@ -9,13 +9,70 @@ golden-image gating role.
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import numpy as np
+
+
+class ImageMetadata(NamedTuple):
+    """Dimensions + pixel format of an image on disk without decoding it
+    (ref: impact_io/src/image.rs:22 ImageMetadata / PixelFormat)."""
+
+    width: int
+    height: int
+    pixel_format: str  # "rgba8" | "rgb8" | "luma8"
+
+
+_FORMAT_OF_MODE = {"RGBA": "rgba8", "RGB": "rgb8", "L": "luma8"}
+
+
+def read_image_metadata(path) -> ImageMetadata:
+    """Ref: impact_io/src/image.rs:91 read_metadata_for_image_at_path —
+    PIL lazily parses only the header here."""
+    from PIL import Image
+
+    with Image.open(path) as im:
+        fmt = _FORMAT_OF_MODE.get(im.mode, "rgb8")
+        return ImageMetadata(im.width, im.height, fmt)
+
+
+def load_image(path_or_bytes, mode: str | None = None) -> np.ndarray:
+    """Decode PNG/JPEG (any PIL-supported container) from a path or raw
+    bytes to a u8 array (ref: impact_io/src/image.rs:113/154
+    load_image_from_path / load_image_from_bytes). ``mode`` forces "RGB",
+    "RGBA" or "L"; default keeps the natural channel count."""
+    import io
+
+    from PIL import Image
+
+    src = (
+        io.BytesIO(path_or_bytes)
+        if isinstance(path_or_bytes, (bytes, bytearray))
+        else path_or_bytes
+    )
+    im = Image.open(src)
+    if mode is not None:
+        im = im.convert(mode)
+    elif im.mode not in _FORMAT_OF_MODE:
+        im = im.convert("RGB")
+    return np.asarray(im)
 
 
 def save_png(path, image_u8):
     from PIL import Image
 
     Image.fromarray(np.asarray(image_u8)).save(path)
+
+
+def save_jpeg(path, image_u8, quality: int = 92):
+    """JPEG encode (ref: impact_io image format support — the reference
+    decodes/encodes both PNG and JPEG containers)."""
+    from PIL import Image
+
+    arr = np.asarray(image_u8)
+    if arr.ndim == 3 and arr.shape[-1] == 4:
+        arr = arr[..., :3]  # JPEG has no alpha
+    Image.fromarray(arr).save(path, format="JPEG", quality=quality)
 
 
 def load_png(path):

@@ -154,3 +154,49 @@ class TestProceduralSources:
         albedo, normal = default_voxel_texture_arrays(3, size=32)
         assert albedo.n_layers == 3 and normal.n_layers == 3
         assert albedo.base_shape == (32, 32)
+
+
+class TestImageImport:
+    """Image IO + declared-texture import (ref: impact_io/src/image.rs,
+    impact_texture/src/import.rs)."""
+
+    def _gradient(self):
+        g = np.linspace(0, 255, 48, dtype=np.float32).astype(np.uint8)
+        return np.repeat(g[None, :, None], 64, 0).repeat(3, -1).reshape(
+            64, 48, 3
+        )
+
+    def test_png_jpeg_roundtrip_and_metadata(self, tmp_path):
+        from impact_tpu.utils import image as im
+
+        rgb = self._gradient()
+        p_png = str(tmp_path / "a.png")
+        p_jpg = str(tmp_path / "b.jpg")
+        im.save_png(p_png, rgb)
+        im.save_jpeg(p_jpg, rgb)
+        md = im.read_image_metadata(p_jpg)
+        assert (md.width, md.height) == (48, 64)
+        a = im.load_image(p_png)
+        b = im.load_image(p_jpg)
+        assert a.shape == b.shape == (64, 48, 3)
+        assert np.abs(a.astype(int) - b.astype(int)).mean() < 3.0  # lossy
+        # bytes source (impact_io ImageSource::Bytes)
+        c = im.load_image((tmp_path / "b.jpg").read_bytes())
+        assert c.shape == (64, 48, 3)
+
+    def test_texture_array_from_images(self, tmp_path):
+        from impact_tpu.render import textures as tx
+        from impact_tpu.utils import image as im
+
+        rgb = self._gradient()
+        p_png = str(tmp_path / "a.png")
+        p_jpg = str(tmp_path / "b.jpg")
+        im.save_png(p_png, rgb)
+        im.save_jpeg(p_jpg, rgb)
+        ta = tx.texture_array_from_images([p_png, p_jpg], resolution=32)
+        assert ta.n_layers == 2
+        assert ta.base_shape == (32, 32)
+        assert ta.n_levels == 6  # 32 -> 1 full chain
+        # sRGB-decoded linear values stay in [0,1]
+        base = np.asarray(ta.mips[0])
+        assert base.min() >= 0.0 and base.max() <= 1.0
