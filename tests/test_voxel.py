@@ -327,6 +327,29 @@ class TestDeformation:
         n_fragments = int((counts[:n_seeds] > 0).sum())
         assert n_fragments > 10, n_fragments
 
+    def test_fracture_reference_scale_event(self):
+        """A single event at reference-scale seed counts (fracturing.rs
+        max_fragment_count: 512; engine_config_no_assets.ron:104) — the
+        vectorized [S-1,G,G,G] carve scales to hundreds of seeds, bounded
+        only by pool slots. Voxels conserved, many distinct fragments."""
+        n_seeds = 128
+        pool = make_sphere_pool(radius=12.0, n_objects=n_seeds + 4)
+        total = int(nonempty_counts(pool)[0])
+        free = jnp.arange(1, n_seeds, dtype=jnp.int32)
+        pool2 = fracture_object(
+            pool,
+            jnp.asarray(0),
+            jnp.array([12.0, 0.0, 0.0]),
+            jax.random.PRNGKey(3),
+            free,
+            fracture_radius=11.0,
+            n_seeds=n_seeds,
+        )
+        counts = np.asarray(nonempty_counts(pool2))
+        assert counts.sum() == total
+        n_fragments = int((counts[:n_seeds] > 0).sum())
+        assert n_fragments > 40, n_fragments
+
     def test_fracture_conserves_voxels(self):
         pool = make_sphere_pool(radius=8.0, n_objects=8)
         total = int(nonempty_counts(pool)[0])
