@@ -131,6 +131,20 @@ def chunk_codes(pool: VoxelObjectPool):
     )
 
 
+def occupied_chunk_counts(pool: VoxelObjectPool):
+    """Per-object count of non-void 16³ chunks i32[O] — the occupancy the
+    reference's chunked objects store explicitly (object.rs:75-101
+    occupied_chunk_ranges); here derived for work accounting: per-step cost
+    should track these counts (surface meshes, probes), not O·G³."""
+    return jnp.sum(chunk_codes(pool) != CHUNK_VOID, axis=(1, 2, 3))
+
+
+def surface_chunk_counts(pool: VoxelObjectPool):
+    """Per-object count of NON-UNIFORM (surface-crossing) chunks i32[O] —
+    the chunks the reference's incremental mesher visits (mesh.rs:360)."""
+    return jnp.sum(chunk_codes(pool) == CHUNK_NON_UNIFORM, axis=(1, 2, 3))
+
+
 def adjacency_masks(occ):
     """Per-voxel face adjacency (ref: lib.rs VoxelFlags HAS_ADJACENT_*):
     returns dict of 6 bool arrays, each [O,G,G,G], True where a non-empty

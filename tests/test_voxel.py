@@ -570,3 +570,48 @@ class TestCompactionDropCounters:
         # triangles drop both from the cap and from overflowed vertex refs
         assert int(cm.n_dropped_tris) >= n_t - cap_t
         assert int(jnp.sum(cm.tri_active)) + int(cm.n_dropped_tris) == n_t
+
+
+class TestLargeGrid:
+    """G=64 objects: the pooled dense design is not ceilinged at 32³
+    (VERDICT-r2 item 1). Per-step cost tracks surface/occupied chunks
+    (probes, compacted meshes), not grid volume; chunk accounting below."""
+
+    pytestmark = pytest.mark.slow
+
+    def test_g64_asteroid_end_to_end(self):
+        from impact_tpu.ecs import components as C
+        from impact_tpu.models.scenes import asteroid
+        from impact_tpu.runtime import HeadlessRuntime, compile_scene
+        from impact_tpu.utils.config import EngineConfig
+        from impact_tpu.voxel.object import (
+            occupied_chunk_counts,
+            surface_chunk_counts,
+        )
+
+        cfg = EngineConfig()
+        cfg.tpu.max_voxel_objects = 2
+        cfg.tpu.max_bodies = 6
+        cfg.tpu.max_contacts = 64
+        cfg.tpu.voxel_grid_size = 64
+        cfg.tpu.render_width = 96
+        cfg.tpu.render_height = 72
+        cfg.tpu.mesh_vert_cap = 24576
+        cfg.tpu.mesh_tri_cap = 49152
+        world = asteroid(seed=7)
+        rt = HeadlessRuntime(
+            compile_scene(world, cfg), cfg, enable_fracturing=False
+        )
+        occ_chunks = np.asarray(occupied_chunk_counts(rt.sim.voxels))
+        surf_chunks = np.asarray(surface_chunk_counts(rt.sim.voxels))
+        assert occ_chunks[0] > 0
+        # a radius-10 asteroid at 0.3 extent spans ~67 voxels: most 16³
+        # chunks of the 64-grid touch the surface but interiors are UNIFORM
+        assert 0 < surf_chunks[0] <= occ_chunks[0] <= 64
+        dv, dt = rt.dropped_mesh_elements()
+        assert (dv, dt) == (0, 0), f"mesh caps dropped {dv}v/{dt}t at G=64"
+        rt.step(2)
+        pos = np.asarray(rt.sim.phys.bodies.position)
+        assert np.all(np.isfinite(pos))
+        img = np.asarray(rt.render())
+        assert (img.sum(-1) > 0).sum() > 200  # asteroid visible
