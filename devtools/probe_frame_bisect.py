@@ -73,7 +73,7 @@ def main():
             )
             scene = compact_scene_triangles(scene, rc.max_triangles)
             if do_geom:
-                gb = geometry_pass(
+                gb, _ = geometry_pass(
                     scene, params.camera, params.camera,
                     sim.render.frame_index, rc,
                 )
@@ -89,7 +89,7 @@ def main():
                     valid=jnp.ones((h, w), bool),
                 )
             if do_shadows:
-                omni, uni = shadow_pass(scene, params.lights, params.camera, rc)
+                omni, uni, _ = shadow_pass(scene, params.lights, params.camera, rc)
             else:
                 omni = uni = None
             if do_shade:

@@ -72,7 +72,7 @@ def main():
                 tris_per_object=cfg.tpu.render_tris_per_object,
             )
             scene = compact_scene_triangles(scene, rc.max_triangles)
-            gb = geometry_pass(
+            gb, _ = geometry_pass(
                 scene, params.camera, params.camera, sim.render.frame_index,
                 rc,
             )
@@ -80,7 +80,7 @@ def main():
             if shadow_mode == "none":
                 omni = uni = None
             else:
-                omni, uni = shadow_pass(scene, lights, params.camera, rc)
+                omni, uni, _ = shadow_pass(scene, lights, params.camera, rc)
                 if shadow_mode == "maps_only":
                     # keep the map rasters alive but skip all PCF lookups
                     eps = 1e-20 * (jnp.mean(omni[0]) + jnp.mean(uni[0]))

@@ -60,6 +60,11 @@ def empty_light_pools(n_omni: int = 4, n_uni: int = 2) -> LightPools:
 
 # --- shadow maps ---------------------------------------------------------------
 
+# Omni-light shadow volume: the cubemap far plane AND the shadow-caster cull
+# radius (pipeline.shadow_pass) share this constant so a changed far plane
+# can never silently cull casters inside the shadow volume.
+OMNI_SHADOW_FAR = 100.0
+
 CUBE_FACE_DIRS = np.array(
     [
         [1.0, 0.0, 0.0], [-1.0, 0.0, 0.0],
@@ -95,13 +100,15 @@ def _look_view_matrix(eye, fwd, up):
 
 def render_omni_shadow_cubemap(
     light_pos, tri_pos9, tri_active, resolution: int,
-    near=0.05, far=100.0, backend: str = "xla",
+    near=0.05, far=None, backend: str = "xla",
 ):
     """6-face depth cubemap for one point light (ref: omni shadow map update
     pass, 6 faces per light). ``tri_pos9``: corner-major world positions
-    [T,9]. Returns (depths [6,S,S], view_projs [6,4,4])."""
+    [T,9]. Returns (depths [6,S,S], view_projs [6,4,4], n_drop)."""
     from .pipeline import project_corners
 
+    if far is None:
+        far = OMNI_SHADOW_FAR
     face_dirs = jnp.asarray(CUBE_FACE_DIRS)
     face_ups = jnp.asarray(CUBE_FACE_UPS)
     proj = perspective_projection_matrix(1.0, jnp.pi / 2, near, far)
@@ -117,15 +124,19 @@ def render_omni_shadow_cubemap(
         # static Python loop over the 6 faces (one kernel compile, 6 calls —
         # Pallas kernels don't batch under vmap the way XLA ops do)
         ds, vs = [], []
+        n_drop = jnp.int32(0)
         for i in range(6):
             view = _look_view_matrix(light_pos, face_dirs[i], face_ups[i])
             vp = proj @ view
-            ds.append(rasterize_depth_pos(
+            d, nd = rasterize_depth_pos(
                 tri_pos9, tri_active, vp, resolution, resolution,
                 cull_backfaces=False, tile=32, k_per_range=256,
-            ))
+                return_drops=True,
+            )
+            ds.append(d)
             vs.append(vp)
-        return jnp.stack(ds), jnp.stack(vs)
+            n_drop = n_drop + nd
+        return jnp.stack(ds), jnp.stack(vs), n_drop
 
     def face(i):
         tri_clip, vp = face_clip(i)
@@ -142,7 +153,9 @@ def render_omni_shadow_cubemap(
         return target.depth, vp
 
     depths, vps = jax.vmap(face)(jnp.arange(6))
-    return depths, vps
+    # the XLA fallback keeps the nearest-K per tile without counting (CPU
+    # oracle path; the Pallas path above counts)
+    return depths, vps, jnp.int32(0)
 
 
 def render_uni_shadow_map(
@@ -152,7 +165,8 @@ def render_uni_shadow_map(
 ):
     """Orthographic shadow map for a directional light covering the scene
     bounding sphere (single cascade; the cascade split logic of the
-    reference's CSM slots in above this). Returns (depth [S,S], vp [4,4])."""
+    reference's CSM slots in above this).
+    Returns (depth [S,S], vp [4,4], n_drop)."""
     eye = scene_center - light_dir * (2.0 * scene_radius)
     up = jnp.where(
         jnp.abs(light_dir[1]) < 0.95,
@@ -166,11 +180,12 @@ def render_uni_shadow_map(
     if backend == "pallas":
         from .raster_pallas import rasterize_depth_pos
 
-        depth = rasterize_depth_pos(
+        depth, n_drop = rasterize_depth_pos(
             tri_pos9, tri_active, vp, resolution, resolution,
             cull_backfaces=False, tile=32, k_per_range=256,
+            return_drops=True,
         )
-        return depth, vp
+        return depth, vp, n_drop
     from .pipeline import project_corners
 
     tri_clip = project_corners(tri_pos9, vp)
@@ -178,7 +193,7 @@ def render_uni_shadow_map(
         tri_clip, tri_active, resolution, resolution, cull_backfaces=False,
         k_per_tile=256, big_budget=64, tiles_per_chunk=64,
     )
-    return target.depth, vp
+    return target.depth, vp, jnp.int32(0)
 
 
 def _sample_shadow_pcf(depth_map, uv, depth_ref, bias=2e-3):
@@ -512,7 +527,7 @@ def render_uni_shadow_cascades(
     """n-cascade directional shadow maps fit to the camera sub-frusta
     (ref: uni shadow cascade update passes, ≤4 cascades per light).
 
-    Returns (depths [C,S,S], vps [C,4,4], splits [C+1])."""
+    Returns (depths [C,S,S], vps [C,4,4], splits [C+1], n_drop)."""
     splits = cascade_partition_depths(near, far, n_cascades)
 
     def one(c):
@@ -531,10 +546,11 @@ def render_uni_shadow_cascades(
     if backend == "pallas":
         # static loop: Pallas kernels don't batch under vmap
         outs = [one(c) for c in range(n_cascades)]
+        n_drop = sum(o[2] for o in outs)
         return (jnp.stack([o[0] for o in outs]),
-                jnp.stack([o[1] for o in outs]), splits)
-    depths, vps = jax.vmap(one)(jnp.arange(n_cascades))
-    return depths, vps, splits
+                jnp.stack([o[1] for o in outs]), splits, n_drop)
+    depths, vps, drops = jax.vmap(one)(jnp.arange(n_cascades))
+    return depths, vps, splits, jnp.sum(drops)
 
 
 def uni_cascade_visibility(

@@ -119,6 +119,10 @@ class RenderState(NamedTuple):
     history_luminance: jnp.ndarray  # f32[H,W,3] TAA history
     avg_luminance: jnp.ndarray  # f32 smoothed scene luminance
     frame_index: jnp.ndarray  # i32
+    # cumulative raster candidates lost to per-tile/big-block overflow across
+    # all views and frames ("no silent caps" — bench asserts this stays 0).
+    # Plain-int default avoids touching the backend at import time.
+    n_raster_drops: jnp.ndarray = 0
 
 
 def init_render_state(config: RenderConfig) -> RenderState:
@@ -126,6 +130,7 @@ def init_render_state(config: RenderConfig) -> RenderState:
         history_luminance=jnp.zeros((config.height, config.width, 3), jnp.float32),
         avg_luminance=jnp.asarray(1000.0, jnp.float32),
         frame_index=jnp.asarray(0, jnp.int32),
+        n_raster_drops=jnp.asarray(0, jnp.int32),
     )
 
 
@@ -212,6 +217,8 @@ def geometry_pass(
 ) -> GBuffer:
     """Rasterize the G-buffer + motion vectors (ref: GeometryPass, 592).
 
+    Returns (GBuffer, n_drop) — n_drop counts raster candidates lost to
+    per-tile/big-block overflow ("no silent caps"; callers sum per-frame).
     ``scene`` must already be triangle-compacted (compact_scene_triangles)."""
     h, w = config.height, config.width
     jitter = frame_index if config.taa_enabled else None
@@ -251,17 +258,19 @@ def geometry_pass(
         # 32-px tiles: with the MXU plane eval the kernel is bound by its
         # ~3.4 µs/grid-step floor (DMA starts + Mosaic loop), so 4x fewer
         # steps wins; k scales with tile area
-        out, near, valid = raster_pallas.rasterize_attributes_pos(
+        out, near, valid, n_drop = raster_pallas.rasterize_attributes_pos(
             scene.tri_pos, scene.tri_active, packed, vp, h, w,
-            tile=32, k_per_range=256,
+            tile=32, k_per_range=256, return_drops=True,
         )
     else:
-        # XLA fallback (CPU oracle): identity corner indices
+        # XLA fallback (CPU oracle): identity corner indices; keeps the
+        # nearest-K per tile without counting drops
         tri_clip = project_corners(scene.tri_pos, vp)
         idx = jnp.arange(3 * t, dtype=jnp.int32).reshape(t, 3)
         out, near, valid = rasterlib.rasterize_attributes(
             tri_clip, scene.tri_active, idx, packed.reshape(3 * t, 20), h, w
         )
+        n_drop = jnp.int32(0)
 
     world_pos = out[..., 0:3]
     world_pos_prev = out[..., 3:6]
@@ -301,41 +310,44 @@ def geometry_pass(
     )
     motion = jnp.where(valid[..., None], motion, 0.0)
 
-    return GBuffer(
+    gb = GBuffer(
         world_pos=world_pos, normal=normal, albedo=albedo, f0=f0,
         roughness=roughness, emissive=emissive, material=material,
         motion=motion, valid=valid,
     )
+    return gb, n_drop
 
 
 def shadow_pass(scene: RenderScene, lights: LightPools, cam: Camera, config: RenderConfig):
     """Render all shadow maps (ref: omni/uni shadow-map update passes).
 
-    Returns (omni_shadows, uni_shadows) or (None, None) when disabled."""
+    Returns (omni_shadows, uni_shadows, n_drop), or (None, None, 0) when
+    disabled. n_drop sums raster-candidate overflow over every view."""
     import jax
 
     h, w = config.height, config.width
     if not config.shadows_enabled:
-        return None, None
+        return None, None, jnp.int32(0)
 
     shadow_tris = scene.tri_active & scene.tri_shadow
     backend = config.raster_backend
+    n_drop = jnp.int32(0)
     if config.view_culling:
         # bound omni shadow work to casters inside the light's range
         # (ref: bound_omnidirectional_lights_and_buffer_shadow_casting_models)
         sph_center, sph_rad = triangle_bounding_spheres(scene.tri_pos)
 
+    from .lights import OMNI_SHADOW_FAR, quad_pack
+
     def omni_one(pos):
         tris = shadow_tris
         if config.view_culling:
             d2 = jnp.sum((sph_center - pos[None, :]) ** 2, axis=-1)
-            tris = tris & (d2 <= (100.0 + sph_rad) ** 2)
+            tris = tris & (d2 <= (OMNI_SHADOW_FAR + sph_rad) ** 2)
         return render_omni_shadow_cubemap(
             pos, scene.tri_pos, tris,
             config.shadow_map_resolution, backend=backend,
         )
-
-    from .lights import quad_pack
 
     if backend == "pallas":
         # static loop over the light pool: Pallas kernels don't batch under
@@ -344,8 +356,12 @@ def shadow_pass(scene: RenderScene, lights: LightPools, cam: Camera, config: Ren
                 for i in range(lights.omni_position.shape[0])]
         omni_depths = jnp.stack([o[0] for o in outs])
         omni_vps = jnp.stack([o[1] for o in outs])
+        n_drop = n_drop + sum(o[2] for o in outs)
     else:
-        omni_depths, omni_vps = jax.vmap(omni_one)(lights.omni_position)
+        omni_depths, omni_vps, omni_drops = jax.vmap(omni_one)(
+            lights.omni_position
+        )
+        n_drop = n_drop + jnp.sum(omni_drops)
     # quad-pack once per frame: the shade pass then needs ONE gather row per
     # pixel for all four bilinear PCF taps
     omni_shadows = (quad_pack(omni_depths), omni_vps)
@@ -367,8 +383,12 @@ def shadow_pass(scene: RenderScene, lights: LightPools, cam: Camera, config: Ren
             uni_depths = jnp.stack([o[0] for o in outs])
             uni_vps = jnp.stack([o[1] for o in outs])
             uni_splits = jnp.stack([o[2] for o in outs])
+            n_drop = n_drop + sum(o[3] for o in outs)
         else:
-            uni_depths, uni_vps, uni_splits = jax.vmap(uni_one)(lights.uni_direction)
+            uni_depths, uni_vps, uni_splits, uni_drops = jax.vmap(uni_one)(
+                lights.uni_direction
+            )
+            n_drop = n_drop + jnp.sum(uni_drops)
     else:
         corner0 = scene.tri_pos[:, 0:3]
         act = scene.tri_active[:, None]
@@ -393,15 +413,19 @@ def shadow_pass(scene: RenderScene, lights: LightPools, cam: Camera, config: Ren
                     for i in range(lights.uni_direction.shape[0])]
             uni_depths = jnp.stack([o[0] for o in outs])
             uni_vps = jnp.stack([o[1] for o in outs])
+            n_drop = n_drop + sum(o[2] for o in outs)
         else:
-            uni_depths, uni_vps = jax.vmap(uni_one)(lights.uni_direction)
+            uni_depths, uni_vps, uni_drops = jax.vmap(uni_one)(
+                lights.uni_direction
+            )
+            n_drop = n_drop + jnp.sum(uni_drops)
         uni_depths = uni_depths[:, None]
         uni_vps = uni_vps[:, None]
         uni_splits = jnp.tile(
             jnp.stack([cam.near, cam.far])[None], (lights.uni_mask.shape[0], 1)
         )
     uni_shadows = (quad_pack(uni_depths), uni_vps, uni_splits)
-    return omni_shadows, uni_shadows
+    return omni_shadows, uni_shadows, n_drop
 
 
 def deferred_shade(
@@ -567,6 +591,7 @@ def postprocess(
         history_luminance=history,
         avg_luminance=avg,
         frame_index=state.frame_index + 1,
+        n_raster_drops=state.n_raster_drops,
     )
     return img, lum_out, new_state
 
@@ -586,8 +611,13 @@ def render_frame(
     program makes XLA's optimization passes blow up (minutes of compile time);
     prefer jitting the stage functions separately (HeadlessRuntime does)."""
     scene = compact_scene_triangles(scene, config.max_triangles)
-    gb = geometry_pass(scene, cam, cam_prev, state.frame_index, config)
-    omni_shadows, uni_shadows = shadow_pass(scene, lights, cam, config)
+    gb, geo_drops = geometry_pass(scene, cam, cam_prev, state.frame_index, config)
+    omni_shadows, uni_shadows, shadow_drops = shadow_pass(
+        scene, lights, cam, config
+    )
+    state = state._replace(
+        n_raster_drops=state.n_raster_drops + geo_drops + shadow_drops
+    )
     lum = deferred_shade(
         gb, lights, cam, omni_shadows, uni_shadows, config, textures
     )

@@ -725,7 +725,7 @@ def _untile(arr, th, tw, tile, height, width):
     jax.jit,
     static_argnames=(
         "height", "width", "tile", "k_per_range", "big_budget",
-        "cull_backfaces", "interpret", "corner_major",
+        "cull_backfaces", "interpret", "corner_major", "return_drops",
     ),
 )
 def rasterize_attributes(
@@ -742,6 +742,7 @@ def rasterize_attributes(
     cull_backfaces: bool = True,
     interpret: bool = False,
     corner_major: bool = False,
+    return_drops: bool = False,
 ):
     """Pallas raster with fused attribute interpolation.
 
@@ -749,6 +750,9 @@ def rasterize_attributes(
     (interp [H,W,A], near [H,W,A], valid [H,W]). With ``corner_major`` the
     vertex attributes are already laid out per triangle corner
     (vert_attrs[3*t + i] = corner i of triangle t) and no gather is needed.
+    With ``return_drops`` a fourth output n_drop (i32 scalar) counts raster
+    candidates lost to per-tile k_per_range overflow (farthest-first) or
+    big-block overflow — callers surface it ("no silent caps").
     """
     t = clip_pos.shape[0]
     clip2, bary2, act2 = clip_triangles_near(clip_pos, tri_active)
@@ -790,6 +794,8 @@ def rasterize_attributes(
     interp = full[..., 0:a_dim]
     near = full[..., a_dim : 2 * a_dim]
     valid = full[..., 2 * a_dim + 1] > 0.5
+    if return_drops:
+        return interp, near, valid, n_drop
     return interp, near, valid
 
 
@@ -797,7 +803,7 @@ def rasterize_attributes(
     jax.jit,
     static_argnames=(
         "height", "width", "tile", "k_per_range", "big_budget",
-        "cull_backfaces", "interpret",
+        "cull_backfaces", "interpret", "return_drops",
     ),
 )
 def rasterize_attributes_pos(
@@ -813,12 +819,15 @@ def rasterize_attributes_pos(
     big_budget: int = 128,
     cull_backfaces: bool = True,
     interpret: bool = False,
+    return_drops: bool = False,
 ):
     """SoA-prologue attribute raster: projection, near clip, and screen-plane
     setup run on flat [T] component arrays (the [T,3,4] forms tile their
     minor dims to 128 lanes — a 32-43x memory blowup measured at ~8.5 ms per
     view, devtools/probe_prologue3.py). Output identical to
-    rasterize_attributes(project_corners(tri_pos9, vp), ...)."""
+    rasterize_attributes(project_corners(tri_pos9, vp), ...). With
+    ``return_drops`` a fourth output n_drop counts candidates lost to
+    k_per_range/big-block overflow."""
     t = tri_pos9.shape[0]
     vx, vy, vz, vw = _project_soa(tri_pos9, vp)
     (cx, cy, cz, cw), bary, act2 = _clip_near_soa(
@@ -849,6 +858,8 @@ def rasterize_attributes_pos(
     interp = full[..., 0:a_dim]
     near = full[..., a_dim : 2 * a_dim]
     valid = full[..., 2 * a_dim + 1] > 0.5
+    if return_drops:
+        return interp, near, valid, n_drop
     return interp, near, valid
 
 
@@ -856,7 +867,7 @@ def rasterize_attributes_pos(
     jax.jit,
     static_argnames=(
         "height", "width", "tile", "k_per_range", "big_budget",
-        "cull_backfaces", "interpret",
+        "cull_backfaces", "interpret", "return_drops",
     ),
 )
 def rasterize_depth_pos(
@@ -871,8 +882,10 @@ def rasterize_depth_pos(
     big_budget: int = 128,
     cull_backfaces: bool = True,
     interpret: bool = False,
+    return_drops: bool = False,
 ):
-    """SoA-prologue depth raster (shadow maps). Returns depth f32[H,W]."""
+    """SoA-prologue depth raster (shadow maps). Returns depth f32[H,W]
+    (with ``return_drops``: (depth, n_drop))."""
     t = tri_pos9.shape[0]
     vx, vy, vz, vw = _project_soa(tri_pos9, vp)
     (cx, cy, cz, cw), _, act2 = _clip_near_soa(
@@ -887,14 +900,17 @@ def rasterize_depth_pos(
     )
     out = _run(ranges, payload, big_rows, big_mask, th, tw, tile,
                k_per_range, 0, interpret)
-    return _untile(out[:, 0, :], th, tw, tile, height, width)
+    depth = _untile(out[:, 0, :], th, tw, tile, height, width)
+    if return_drops:
+        return depth, n_drop
+    return depth
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
         "height", "width", "tile", "k_per_range", "big_budget",
-        "cull_backfaces", "interpret",
+        "cull_backfaces", "interpret", "return_drops",
     ),
 )
 def rasterize_depth(
@@ -908,8 +924,10 @@ def rasterize_depth(
     big_budget: int = 128,
     cull_backfaces: bool = True,
     interpret: bool = False,
+    return_drops: bool = False,
 ):
-    """Pallas depth-only raster (shadow maps). Returns depth f32[H,W].
+    """Pallas depth-only raster (shadow maps). Returns depth f32[H,W]
+    (with ``return_drops``: (depth, n_drop)).
 
     The 12-row payload is carried through the binning sort (no gather)."""
     t = clip_pos.shape[0]
@@ -920,4 +938,7 @@ def rasterize_depth(
     )
     out = _run(ranges, payload, big_rows, big_mask, th, tw, tile,
                k_per_range, 0, interpret)
-    return _untile(out[:, 0, :], th, tw, tile, height, width)
+    depth = _untile(out[:, 0, :], th, tw, tile, height, width)
+    if return_drops:
+        return depth, n_drop
+    return depth

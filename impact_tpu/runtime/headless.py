@@ -125,6 +125,8 @@ class HeadlessRuntime:
             return compact_scene_triangles(scene, rc.max_triangles)
 
         self._scene_of = jax.jit(scene_of)
+        # stage jits return the raster drop counts too (profiling callers
+        # index [0]; the fused frame accumulates them into RenderState)
         self._geometry = jax.jit(
             lambda scene, frame_index: geometry_pass(
                 scene, params.camera, params.camera, frame_index, rc
@@ -176,11 +178,13 @@ class HeadlessRuntime:
         # (devtools/profile_stages.py) and the stage-timing entries in bench.
         def render_a(sim):
             scene = scene_of(sim)
-            gb = geometry_pass(
+            gb, geo_drops = geometry_pass(
                 scene, params.camera, params.camera, sim.render.frame_index, rc
             )
-            omni, uni = shadow_pass(scene, params.lights, params.camera, rc)
-            return gb, omni, uni
+            omni, uni, shadow_drops = shadow_pass(
+                scene, params.lights, params.camera, rc
+            )
+            return gb, omni, uni, geo_drops + shadow_drops
 
         def render_b(gb, omni, uni, tex, rstate):
             lum = deferred_shade(
@@ -192,9 +196,12 @@ class HeadlessRuntime:
         self._render_b = jax.jit(render_b)
 
         def render(sim):
-            gb, omni, uni = self._render_a(sim)
+            gb, omni, uni, drops = self._render_a(sim)
+            rstate_in = sim.render._replace(
+                n_raster_drops=sim.render.n_raster_drops + drops
+            )
             img, hdr, rstate = self._render_b(
-                gb, omni, uni, self._textures, sim.render
+                gb, omni, uni, self._textures, rstate_in
             )
             if self.visible_gizmos:
                 img = self._gizmo_overlay(img, sim, tuple(self.visible_gizmos))
@@ -215,8 +222,11 @@ class HeadlessRuntime:
 
         def frame_fn(sim, textures):
             sim = step_for_frame(sim, self.params)
-            gb, omni, uni = render_a(sim)
-            img, hdr, rstate = render_b(gb, omni, uni, textures, sim.render)
+            gb, omni, uni, drops = render_a(sim)
+            rstate_in = sim.render._replace(
+                n_raster_drops=sim.render.n_raster_drops + drops
+            )
+            img, hdr, rstate = render_b(gb, omni, uni, textures, rstate_in)
             return img, sim._replace(render=rstate)
 
         self._frame = jax.jit(frame_fn)
@@ -310,6 +320,15 @@ class HeadlessRuntime:
             int(np.asarray(jnp.sum(self.sim.meshes.n_dropped_verts))),
             dropped_tris,
         )
+
+    def dropped_raster_candidates(self) -> int:
+        """Cumulative raster candidates lost to per-tile k_per_range or
+        big-block overflow across every rendered view so far (the raster-side
+        "no silent caps" counter; nonzero means nearest-z-losing geometry was
+        silently dropped — enlarge k_per_range/big_budget)."""
+        import numpy as np
+
+        return int(np.asarray(self.sim.render.n_raster_drops))
 
     def render(self):
         """Render the current state → u8 image [H,W,3]."""
