@@ -337,21 +337,32 @@ def load_image_layer(
 ):
     """Decode one PNG/JPEG image into a float [H,W,3] layer in linear color
     (ref: import.rs:174 load_image_texture + processing.rs sRGB handling).
-    ``resolution`` resizes (box-filtered via PIL) so layers can stack into an
-    array; power-of-two sizes keep the mip chain exact."""
+    ``resolution`` resizes (Lanczos-filtered via PIL, applied AFTER
+    linearization — filtering sRGB-encoded values would darken edges) so
+    layers can stack into an array; power-of-two sizes keep the mip chain
+    exact."""
     from ..utils.image import load_image
 
     arr = load_image(path_or_bytes, mode="RGB").astype(np.float32) / 255.0
-    if resolution is not None and arr.shape[:2] != (resolution, resolution):
-        from PIL import Image
-
-        im = Image.fromarray((arr * 255.0 + 0.5).astype(np.uint8))
-        im = im.resize((resolution, resolution), Image.LANCZOS)
-        arr = np.asarray(im, np.float32) / 255.0
     if srgb:  # decode sRGB → linear for shading (processing.rs)
         arr = np.where(
             arr <= 0.04045, arr / 12.92, ((arr + 0.055) / 1.055) ** 2.4
         ).astype(np.float32)
+    if resolution is not None and arr.shape[:2] != (resolution, resolution):
+        from PIL import Image
+
+        chans = [
+            np.asarray(
+                Image.fromarray(arr[..., c], mode="F").resize(
+                    (resolution, resolution), Image.LANCZOS
+                ),
+                np.float32,
+            )
+            for c in range(arr.shape[-1])
+        ]
+        # Lanczos can ring slightly negative on hard edges; keep linear
+        # radiance non-negative
+        arr = np.clip(np.stack(chans, axis=-1), 0.0, None)
     return arr
 
 

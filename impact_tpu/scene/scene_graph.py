@@ -23,19 +23,43 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from ..math import quaternion as quat
-
 # ModelInstanceFlags (ref: graph.rs:110 bitflags)
 INSTANCE_IS_HIDDEN = 1 << 0
 INSTANCE_CASTS_NO_SHADOWS = 1 << 1
 
 
+def _np_quat_mul(a, b):
+    """Hamilton product, xyzw layout (numpy — host-side graph work must not
+    dispatch device ops; see module docstring)."""
+    ax, ay, az, aw = a
+    bx, by, bz, bw = b
+    return np.array(
+        [
+            aw * bx + ax * bw + ay * bz - az * by,
+            aw * by - ax * bz + ay * bw + az * bx,
+            aw * bz + ax * by - ay * bx + az * bw,
+            aw * bw - ax * bx - ay * by - az * bz,
+        ],
+        np.float32,
+    )
+
+
+def _np_quat_rotate(q, v):
+    """Rotate vector v by unit quaternion q (xyzw), numpy."""
+    u = np.asarray(q[:3], np.float32)
+    w = np.float32(q[3])
+    v = np.asarray(v, np.float32)
+    t = 2.0 * np.cross(u, v)
+    return v + w * t + np.cross(u, t)
+
+
 def _compose(pp, pq, ps, p, q, s):
     """Compose parent (pos, quat, scale) with child local (pos, quat, scale):
     similarity transforms T_parent ∘ T_child (ref: Similarity3 composition)."""
-    pos = pp + ps * np.asarray(quat.rotate(pq, p))
-    rot = np.asarray(quat.normalize(quat.mul(pq, q)))
-    return pos, rot, ps * s
+    pos = np.asarray(pp, np.float32) + ps * _np_quat_rotate(pq, p)
+    rot = _np_quat_mul(pq, q)
+    rot = rot / max(float(np.linalg.norm(rot)), 1e-12)
+    return pos, rot.astype(np.float32), ps * s
 
 
 @dataclass
@@ -159,16 +183,19 @@ class SceneGraph:
         self._groups[parent].children_cameras.append(cid)
         return cid
 
-    # -- removal (ref: graph.rs:307/345/364 — children are re-parented is NOT
-    # reference behavior: the reference requires groups be empty; we enforce
-    # the same) ------------------------------------------------------------
+    # -- removal (ref: graph.rs:307/345/364 — remove_group_node recursively
+    # removes the group and all descendant groups/instances/cameras) --------
 
     def remove_group_node(self, gid: int):
         if gid == self._root:
             raise ValueError("cannot remove the root group")
         node = self._groups[gid]
-        if node.children_groups or node.children_instances or node.children_cameras:
-            raise ValueError("group node still has children")
+        for iid in list(node.children_instances):
+            self.remove_model_instance_node(iid)
+        for cid in list(node.children_cameras):
+            self.remove_camera_node(cid)
+        for child_gid in list(node.children_groups):
+            self.remove_group_node(child_gid)
         self._groups[node.parent].children_groups.remove(gid)
         del self._groups[gid]
 

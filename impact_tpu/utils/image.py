@@ -28,11 +28,17 @@ _FORMAT_OF_MODE = {"RGBA": "rgba8", "RGB": "rgb8", "L": "luma8"}
 
 def read_image_metadata(path) -> ImageMetadata:
     """Ref: impact_io/src/image.rs:91 read_metadata_for_image_at_path —
-    PIL lazily parses only the header here."""
+    PIL lazily parses only the header here. Unsupported on-disk pixel
+    formats (palette, 16-bit, luma+alpha, ...) raise like the reference's
+    PixelFormat::try_from does, instead of being misreported."""
     from PIL import Image
 
     with Image.open(path) as im:
-        fmt = _FORMAT_OF_MODE.get(im.mode, "rgb8")
+        fmt = _FORMAT_OF_MODE.get(im.mode)
+        if fmt is None:
+            raise ValueError(
+                f"unsupported pixel format (PIL mode {im.mode!r}) in {path}"
+            )
         return ImageMetadata(im.width, im.height, fmt)
 
 

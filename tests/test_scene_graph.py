@@ -30,12 +30,16 @@ class TestSceneGraph:
         sg.remove_group_node(g)
         assert sg.n_nodes() == 1
 
-    def test_group_removal_requires_empty(self):
+    def test_group_removal_is_recursive(self):
+        # ref: graph.rs:307 remove_group_node removes the group and all
+        # descendant groups/instances/cameras
         sg = SceneGraph()
         g = sg.create_group_node(sg.root_node_id)
         sg.create_model_instance_node(g, model_id=0)
-        with pytest.raises(ValueError):
-            sg.remove_group_node(g)
+        child = sg.create_group_node(g)
+        sg.create_camera_node(child)
+        sg.remove_group_node(g)
+        assert sg.n_nodes() == 1
         with pytest.raises(ValueError):
             sg.remove_group_node(sg.root_node_id)
 
