@@ -601,3 +601,69 @@ class UniformEmissiveLuminance:
     setup/physical.rs:178 UniformEmissiveLuminance)."""
 
     luminance: float = 0.0
+
+
+@component(setup=True)
+class TexturedColor:
+    """Textured base color: albedo for dielectrics, F0 tint for metals
+    (ref: setup/physical.rs:55 TexturedColor(TextureID)). ``texture_id`` is
+    the FNV-1a hash of a registered texture (runtime.setup.register_texture)."""
+
+    texture_id: ("u64", ()) = 0
+
+
+@component(setup=True)
+class TexturedSpecularReflectance:
+    """Textured scalar specular reflectance at normal incidence, scaled by
+    ``scale_factor`` (ref: setup/physical.rs:79)."""
+
+    texture_id: ("u64", ()) = 0
+    scale_factor: float = 1.0
+
+
+@component(setup=True)
+class TexturedRoughness:
+    """Textured GGX roughness, scaled by ``scale_factor``
+    (ref: setup/physical.rs:105)."""
+
+    texture_id: ("u64", ()) = 0
+    scale_factor: float = 1.0
+
+
+@component(setup=True)
+class TexturedMetalness:
+    """Textured metalness, scaled by ``scale_factor``
+    (ref: setup/physical.rs:152)."""
+
+    texture_id: ("u64", ()) = 0
+    scale_factor: float = 1.0
+
+
+@component(setup=True)
+class TexturedEmissiveLuminance:
+    """Textured monochromatic emissive luminance (cd/m²), scaled by
+    ``scale_factor`` and tinted by the base color
+    (ref: setup/physical.rs:183)."""
+
+    texture_id: ("u64", ()) = 0
+    scale_factor: float = 1.0
+
+
+@component(setup=True)
+class NormalMap:
+    """Tangent-space normal map describing surface details
+    (ref: setup/physical.rs:196 NormalMap(TextureID))."""
+
+    texture_id: ("u64", ()) = 0
+
+
+@component(setup=True)
+class ParallaxMap:
+    """Height map for parallax mapping (ref: setup/physical.rs:205
+    ParallaxMap). ``displacement_scale`` is in world units here (the
+    deferred triplanar path offsets world-space sample positions;
+    uv_per_distance is kept for schema parity and folded into the offset)."""
+
+    height_map_texture_id: ("u64", ()) = 0
+    displacement_scale: float = 0.02
+    uv_per_distance: ("f32", 2) = (1.0, 1.0)

@@ -469,8 +469,37 @@ def deferred_shade(
             2.0 * jnp.tan(0.5 * cam.vertical_fov) / h
         )
         lod = lod_from_scale(world_per_pixel * config.texture_scale * tex_size)
+
+        wp = gb.world_pos
+        props = None
+        if textures.props is not None:
+            # per-layer PBR property textures for textured mesh entities
+            # (ref: Textured{SpecularReflectance,Roughness,Metalness,
+            # EmissiveLuminance}/ParallaxMap, setup/physical.rs:79-214)
+            props = sample_triplanar(
+                textures.props, layer, wp, gb.normal,
+                config.texture_scale, lod,
+            )
+            # single-step triplanar parallax: shift the world-space sample
+            # position along the view's tangential component by the height
+            # sample (displacement scale baked into the channel at setup;
+            # ref: ParallaxMap — the reference occlusion-steps in-shader,
+            # one offset step is the standard approximation)
+            hgt = props[..., 4]
+            v = cam.position - wp
+            v = v / jnp.maximum(
+                jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-6
+            )
+            ndv = jnp.sum(v * gb.normal, axis=-1, keepdims=True)
+            vtan = v - ndv * gb.normal
+            wp = wp - vtan * (hgt / jnp.maximum(ndv[..., 0], 0.2))[..., None]
+            props = sample_triplanar(
+                textures.props, layer, wp, gb.normal,
+                config.texture_scale, lod,
+            )
+
         tex_albedo = sample_triplanar(
-            textures.albedo, layer, gb.world_pos, gb.normal,
+            textures.albedo, layer, wp, gb.normal,
             config.texture_scale, lod,
         )
         metal_mask = jnp.any(gb.f0 > 0.5, axis=-1, keepdims=True)
@@ -478,11 +507,34 @@ def deferred_shade(
             (has_tex & ~metal_mask[..., 0])[..., None], tex_albedo, gb.albedo
         )
         normal = triplanar_normal(
-            textures.normal, layer, gb.world_pos, gb.normal,
+            textures.normal, layer, wp, gb.normal,
             config.normal_map_strength, config.texture_scale, lod,
         )
         normal = jnp.where(has_tex[..., None], normal, gb.normal)
-        gb = gb._replace(albedo=albedo, normal=normal)
+        if props is None:
+            gb = gb._replace(albedo=albedo, normal=normal)
+        else:
+            # full-PBR layers (textured entities) recompute every material
+            # quantity from the sampled stack; voxel-type layers (full_pbr=0)
+            # keep the albedo/normal-only behavior above. Metal/dielectric
+            # mix per the reference: dielectric F0 = spec, diffuse = color;
+            # metal F0 = color*spec, diffuse = 0 (setup/physical.rs:110-135).
+            fp = textures.full_pbr[layer] * has_tex
+            rough_t, metal_t, spec_t, emis_t = (
+                props[..., 0], props[..., 1], props[..., 2], props[..., 3]
+            )
+            m1 = metal_t[..., None]
+            alb_full = tex_albedo * (1.0 - m1)
+            f0_full = spec_t[..., None] * ((1.0 - m1) + tex_albedo * m1)
+            emis_full = tex_albedo * emis_t[..., None]
+            fpx = fp[..., None]
+            gb = gb._replace(
+                albedo=albedo * (1.0 - fpx) + alb_full * fpx,
+                normal=normal,
+                f0=gb.f0 * (1.0 - fpx) + f0_full * fpx,
+                roughness=gb.roughness * (1.0 - fp) + rough_t * fp,
+                emissive=gb.emissive * (1.0 - fpx) + emis_full * fpx,
+            )
 
     if config.ao_enabled:
         k = config.ao_downsample

@@ -298,11 +298,115 @@ def noise_normal_map(size: int = 256, cells: int = 16, seed: int = 0,
 
 
 class VoxelTextureSet(NamedTuple):
-    """Per-voxel-type texture arrays consumed by the shading pass
-    (ref: VoxelMaterialGPUResources texture arrays, gpu_resource.rs)."""
+    """Texture arrays consumed by the shading pass: one layer per voxel type
+    (ref: VoxelMaterialGPUResources texture arrays, gpu_resource.rs) followed
+    by one layer per textured mesh entity (ref: impact_material
+    setup/physical.rs Textured*/NormalMap/ParallaxMap components).
+
+    ``props`` (optional) carries per-layer PBR property textures, channels
+    [roughness, metalness, specular, emissive, height, 0, 0, 0] — entity
+    scale_factors are baked in at layer build. ``full_pbr`` (f32[L]) flags
+    layers whose props channels REPLACE the G-buffer values (textured
+    entities); voxel-type layers keep the albedo/normal-only behavior."""
 
     albedo: TextureArray
     normal: TextureArray
+    props: TextureArray | None = None
+    full_pbr: jnp.ndarray | None = None  # f32[L]
+
+
+def _resize_nearest(arr, size: int):
+    """Nearest-neighbor resize [H,W,C] → [size,size,C] (procedural/entity
+    layer normalization; image imports resize properly in load_image_layer)."""
+    h, w = arr.shape[:2]
+    yi = (np.arange(size) * h // size).astype(np.int64)
+    xi = (np.arange(size) * w // size).astype(np.int64)
+    return arr[yi][:, xi]
+
+
+def build_entity_material_layer(
+    size: int,
+    color=None,  # [S,S,3] texture or (3,) uniform
+    normal=None,  # [S,S,3] tangent-space map in [0,1] or None (flat)
+    roughness=1.0,  # [S,S] texture (scale baked) or scalar
+    metalness=0.0,
+    specular=0.0,
+    emissive=0.0,
+    height=None,  # [S,S] height map with displacement scale baked, or None
+):
+    """Compose one textured-entity layer (albedo, normal, props[8]) from a
+    mix of textures and uniform fallbacks — the lowering target of the
+    Textured*/NormalMap/ParallaxMap setup components (setup/physical.rs:
+    each property is independently uniform or textured)."""
+
+    def chan(v):
+        if v is None:
+            return np.zeros((size, size), np.float32)
+        v = np.asarray(v, np.float32)
+        if v.ndim == 0:
+            return np.full((size, size), float(v), np.float32)
+        if v.ndim == 3:
+            v = v[..., 0]
+        if v.shape != (size, size):
+            v = _resize_nearest(v[..., None], size)[..., 0]
+        return v.astype(np.float32)
+
+    if color is None:
+        color = np.ones(3, np.float32)
+    color = np.asarray(color, np.float32)
+    if color.ndim == 1:
+        albedo = np.broadcast_to(color, (size, size, 3)).astype(np.float32)
+    else:
+        albedo = _resize_nearest(color, size) if color.shape[:2] != (size, size) else color
+    if normal is None:
+        nrm = np.broadcast_to(
+            np.asarray([0.5, 0.5, 1.0], np.float32), (size, size, 3)
+        ).astype(np.float32)
+    else:
+        normal = np.asarray(normal, np.float32)
+        nrm = _resize_nearest(normal, size) if normal.shape[:2] != (size, size) else normal
+    props = np.stack(
+        [
+            chan(roughness), chan(metalness), chan(specular), chan(emissive),
+            chan(height),
+            np.zeros((size, size), np.float32),
+            np.zeros((size, size), np.float32),
+            np.zeros((size, size), np.float32),
+        ],
+        axis=-1,
+    )
+    return albedo, nrm, props
+
+
+def build_scene_texture_set(
+    n_voxel_types: int,
+    entity_layers,
+    size: int = 64,
+    include_voxel_layers: bool = True,
+) -> VoxelTextureSet:
+    """Compose the scene texture set: voxel-type layers (optional) followed
+    by textured-entity layers. ``entity_layers`` is a list of
+    (albedo, normal, props) triples from build_entity_material_layer."""
+    albedos, normals, props_l, full = [], [], [], []
+    if include_voxel_layers and n_voxel_types > 0:
+        va, vn = default_voxel_texture_arrays(n_voxel_types, size)
+        for t in range(n_voxel_types):
+            albedos.append(np.asarray(va.mips[0][t]))
+            normals.append(np.asarray(vn.mips[0][t]))
+            props_l.append(np.zeros((size, size, 8), np.float32))
+            full.append(0.0)
+    for alb, nrm, pr in entity_layers:
+        albedos.append(alb)
+        normals.append(nrm)
+        props_l.append(pr)
+        full.append(1.0)
+    need_props = any(f > 0 for f in full)
+    return VoxelTextureSet(
+        albedo=build_texture_array(np.stack(albedos)),
+        normal=build_texture_array(np.stack(normals)),
+        props=build_texture_array(np.stack(props_l)) if need_props else None,
+        full_pbr=jnp.asarray(full, jnp.float32) if need_props else None,
+    )
 
 
 def default_voxel_texture_arrays(n_types: int, size: int = 64):

@@ -98,6 +98,22 @@ class HeadlessRuntime:
         params = self.params
         registry_ = self.registry
         rc = self.render_config
+        # textured mesh entities force the textured shade path even when
+        # voxel-type texturing is off (their layers ride the same arrays)
+        entity_layers = self.info.get("entity_texture_layers", [])
+        voxel_textured = rc.textured
+        if entity_layers and not rc.textured:
+            rc = self.render_config = rc._replace(textured=True)
+        if entity_layers:
+            # entity-local layer indices → scene texture-array indices
+            # (voxel-type layers occupy the leading slots when present)
+            offset = registry_.n_types if voxel_textured else 0
+            mat = params.mesh_instances.material
+            params = params._replace(
+                mesh_instances=params.mesh_instances._replace(
+                    material=jnp.where(mat >= 0, mat + offset, -1)
+                )
+            )
         from ..render.pipeline import (
             compact_scene_triangles,
             deferred_shade,
@@ -121,6 +137,7 @@ class HeadlessRuntime:
                 params.static_geometry,
                 params.mesh_instances,
                 tris_per_object=tris_per_object,
+                voxel_texture_layers=voxel_textured,
             )
             return compact_scene_triangles(scene, rc.max_triangles)
 
@@ -136,15 +153,13 @@ class HeadlessRuntime:
             lambda scene: shadow_pass(scene, params.lights, params.camera, rc)
         )
         if rc.textured:
-            from ..render.textures import (
-                VoxelTextureSet,
-                default_voxel_texture_arrays,
-            )
+            from ..render.textures import build_scene_texture_set
 
-            alb, nrm = default_voxel_texture_arrays(
-                registry_.n_types, self.config.tpu.texture_resolution
+            self._textures = build_scene_texture_set(
+                registry_.n_types, entity_layers,
+                self.config.tpu.texture_resolution,
+                include_voxel_layers=voxel_textured,
             )
-            self._textures = VoxelTextureSet(albedo=alb, normal=nrm)
         else:
             self._textures = None
         self._shade = jax.jit(

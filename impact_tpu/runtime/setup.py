@@ -56,11 +56,52 @@ MESH_FILE_PATHS: dict[int, str] = {}
 
 def register_mesh_file(path: str) -> int:
     """Register a mesh file for TriangleMeshFile setup; returns the path hash."""
-    from ..utils.hashing import hash64
+    from ..utils.hashing import hash_str_to_u64
 
-    h = int(hash64(str(path)))
+    h = int(hash_str_to_u64(str(path)))
     MESH_FILE_PATHS[h] = str(path)
     return h
+
+
+# Texture sources referenced by Textured*/NormalMap/ParallaxMap setup
+# components, keyed by FNV-1a hash of their name (ref: impact_texture
+# TextureID = hash of texture name, lib.rs; asset files are fetched by
+# tools/asset_fetcher — here sources are paths or in-memory arrays)
+TEXTURE_SOURCES: dict[int, object] = {}
+
+
+def register_texture(name: str, source) -> int:
+    """Register a texture for textured-material setup components; returns
+    the FNV-1a id. ``source``: an image file path (PNG/JPEG) or a float
+    ndarray [H,W,C] in [0,1]."""
+    from ..utils.hashing import hash_str_to_u64
+
+    h = int(hash_str_to_u64(str(name)))
+    TEXTURE_SOURCES[h] = source
+    return h
+
+
+def _resolve_texture(tid: int, resolution: int, srgb: bool):
+    """texture_id → [S,S,C] float array (None when unregistered/zero)."""
+    if not tid:
+        return None
+    src = TEXTURE_SOURCES.get(int(tid))
+    if src is None:
+        raise KeyError(
+            f"texture id {tid:#x} not registered (register_texture)"
+        )
+    if isinstance(src, str):
+        from ..render.textures import load_image_layer
+
+        return load_image_layer(src, resolution=resolution, srgb=srgb)
+    from ..render.textures import _resize_nearest
+
+    arr = np.asarray(src, np.float32)
+    if arr.ndim == 2:
+        arr = arr[..., None]
+    if arr.shape[:2] != (resolution, resolution):
+        arr = _resize_nearest(arr, resolution)
+    return arr
 
 
 # --- numpy staging shim --------------------------------------------------------
@@ -477,11 +518,37 @@ def _compile_scene_impl(
             casts = not (
                 int(world.get_component(eid, C.SceneEntityFlags).flags) & 2
             )
+        # textured-material components (ref: setup/physical.rs:36-214) —
+        # each property is independently uniform or textured
+        tex = {}
+        if world.has_component(eid, C.TexturedColor):
+            tex["color"] = int(
+                world.get_component(eid, C.TexturedColor).texture_id
+            )
+        for comp, k in (
+            (C.TexturedSpecularReflectance, "spec"),
+            (C.TexturedRoughness, "rough"),
+            (C.TexturedMetalness, "metal"),
+            (C.TexturedEmissiveLuminance, "emis"),
+        ):
+            if world.has_component(eid, comp):
+                c = world.get_component(eid, comp)
+                tex[k] = (int(c.texture_id), float(c.scale_factor))
+        if world.has_component(eid, C.NormalMap):
+            tex["normal"] = int(
+                world.get_component(eid, C.NormalMap).texture_id
+            )
+        if world.has_component(eid, C.ParallaxMap):
+            c = world.get_component(eid, C.ParallaxMap)
+            tex["parallax"] = (
+                int(c.height_map_texture_id),
+                float(c.displacement_scale),
+            )
         pos, ori = frame_of(eid)
         mesh_pending.append(dict(
             eid=eid, pos_l=pos_l, nrm_l=nrm_l, idx_l=idx_l, color=color,
             spec=spec, rough=rough, metal=metal, emis=emis, casts=casts,
-            pos=pos, ori=ori,
+            pos=pos, ori=ori, tex=tex,
         ))
 
     # --- pass 2: regular bodies + collidables + forces + drivers ----------------
@@ -782,6 +849,7 @@ def _compile_scene_impl(
     tm_cap = config.tpu.max_mesh_entity_tris
     mesh_instances = _staged(empty_mesh_instances(m_cap, vm_cap, tm_cap))
     mesh_cursor = 0
+    entity_texture_layers = []  # (albedo, normal, props) per textured entity
 
     for rec in mesh_pending:
         mi = mesh_cursor
@@ -796,6 +864,52 @@ def _compile_scene_impl(
         color, metal = rec["color"], rec["metal"]
         albedo = color * (1.0 - metal)
         f0 = np.full(3, rec["spec"], np.float32) * (1.0 - metal) + color * metal
+        if rec["tex"]:
+            # lower Textured*/NormalMap/ParallaxMap into one texture-array
+            # layer; scale factors bake into the channels. Uniform fallbacks
+            # fill untextured properties so shading can recompute the whole
+            # material from the sampled stack (full-PBR layer).
+            from ..render.textures import build_entity_material_layer
+
+            tex = rec["tex"]
+            size = config.tpu.texture_resolution
+
+            def _prop(k, uniform):
+                if k not in tex:
+                    return uniform
+                tid, scale = tex[k]
+                t = _resolve_texture(tid, size, srgb=False)
+                return t[..., 0] * scale if t is not None else uniform
+
+            height = None
+            if "parallax" in tex:
+                tid, disp = tex["parallax"]
+                hm = _resolve_texture(tid, size, srgb=False)
+                if hm is not None:
+                    height = hm[..., 0] * disp
+            color_tex = (
+                _resolve_texture(tex["color"], size, srgb=True)
+                if "color" in tex else rec["color"]
+            )
+            normal_tex = (
+                _resolve_texture(tex["normal"], size, srgb=False)
+                if "normal" in tex else None
+            )
+            entity_texture_layers.append(build_entity_material_layer(
+                size,
+                color=color_tex,
+                normal=normal_tex,
+                roughness=_prop("rough", rec["rough"]),
+                metalness=_prop("metal", rec["metal"]),
+                specular=_prop("spec", rec["spec"]),
+                emissive=_prop("emis", rec["emis"]),
+                height=height,
+            ))
+            mesh_instances = mesh_instances._replace(
+                material=mesh_instances.material.at[mi].set(
+                    len(entity_texture_layers) - 1
+                )
+            )
         mesh_instances = mesh_instances._replace(
             vert_pos=mesh_instances.vert_pos.at[mi, :nv].set(pos_l),
             vert_normal=mesh_instances.vert_normal.at[mi, :nv].set(nrm_l),
@@ -990,7 +1104,8 @@ def _compile_scene_impl(
         rng=jax.random.PRNGKey(rng_seed),
     )
     info.update(mesh_vert_cap=mesh_vert_cap, mesh_tri_cap=mesh_tri_cap,
-                n_regular_bodies=cursor["body"], n_voxel_objects=cursor["voxel"])
+                n_regular_bodies=cursor["body"], n_voxel_objects=cursor["voxel"],
+                entity_texture_layers=entity_texture_layers)
     return SceneBuildResult(sim, params, info)
 
 

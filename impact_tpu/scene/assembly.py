@@ -63,6 +63,10 @@ class MeshInstancePool(NamedTuple):
     orientation: jnp.ndarray  # f32[M,4]
     alive: jnp.ndarray  # bool[M]
     casts_shadows: jnp.ndarray  # bool[M]
+    # texture-array layer for textured-material entities (-1 = uniform only;
+    # ref: Textured*/NormalMap/ParallaxMap setup components lower into one
+    # layer per entity, setup/physical.rs:36-214)
+    material: jnp.ndarray = None  # i32[M]
 
 
 def empty_mesh_instances(m: int, vm: int, tm: int) -> MeshInstancePool:
@@ -83,6 +87,7 @@ def empty_mesh_instances(m: int, vm: int, tm: int) -> MeshInstancePool:
         ),
         alive=jnp.zeros((m,), bool),
         casts_shadows=jnp.ones((m,), bool),
+        material=jnp.full((m,), -1, jnp.int32),
     )
 
 
@@ -177,6 +182,7 @@ def build_render_scene(
     static_geometry: StaticGeometry,
     mesh_instances: MeshInstancePool | None = None,
     tris_per_object: int = 0,
+    voxel_texture_layers: bool = True,
 ) -> RenderScene:
     """Flatten voxel meshes + static geometry + mesh models into one
     corner-major RenderScene — elementwise transforms only, no per-frame
@@ -224,7 +230,13 @@ def build_render_scene(
     emis9 = meshes.tri_emissive
 
     tri_ok = meshes.tri_active & pool.alive[:, None]
-    mat3 = jnp.where(tri_ok[..., None], meshes.tri_type, -1)
+    # voxel_texture_layers=False drops voxel surfaces to the untextured path
+    # (their type layers are not in the scene texture array — e.g. textured
+    # entities present but tpu.textured_voxels off)
+    if voxel_texture_layers:
+        mat3 = jnp.where(tri_ok[..., None], meshes.tri_type, -1)
+    else:
+        mat3 = jnp.full(meshes.tri_type.shape, -1, jnp.int32)
 
     parts = [dict(
         tri_pos=world9.reshape(-1, 9),
@@ -294,7 +306,9 @@ def _mesh_instance_corners(
             mi.roughness[:, None, None], (m, tm, 3)
         ).reshape(-1, 3),
         tri_emissive=per_tri9(mi.emissive),
-        tri_material=jnp.full((m * tm, 3), -1, jnp.int32),
+        tri_material=jnp.broadcast_to(
+            mi.material[:, None, None], (m, tm, 3)
+        ).reshape(-1, 3),
         tri_active=tri_ok.reshape(-1),
         tri_shadow=(tri_ok & mi.casts_shadows[:, None]).reshape(-1),
     )

@@ -109,6 +109,105 @@ def sample_sdf_trilinear(sdf, pts_grid):
     return c0 * (1 - fz) + c1 * fz
 
 
+# --- packed-corner sampling (the TPU-fast voxel-voxel path) ----------------
+# TPU gather cost is per ROW: the pointwise trilinear sampler pays 8 gather
+# rows per sample (16 ms of the 22 ms step at bench scale,
+# devtools/probe_voxel_contacts.py), and multi-dim slice-gathers (slice_sizes
+# (2,2,2)) lower to SCALAR loads (measured 285 ms — 18x WORSE). The fast
+# shape: pack each cell's 8 i8 corners into two i32 words (elementwise
+# shifts, VPU-cheap, done per step), then ONE flat gather row of 2 lanes per
+# sample + bit unpacking.
+
+
+def pack_cell_corners_i8(sdf_i8):
+    """[..., G, G, G] i8 → [..., (G-1)³, 2] i32 packed cell-corner words.
+
+    word0 = corners (dx,dy,0) at byte dx+2·dy, word1 = corners (dx,dy,1)."""
+    g = sdf_i8.shape[-1]
+    u = sdf_i8.astype(jnp.uint8).astype(jnp.uint32)
+
+    def corner(dx, dy, dz):
+        return u[
+            ...,
+            dx : g - 1 + dx,
+            dy : g - 1 + dy,
+            dz : g - 1 + dz,
+        ]
+
+    def word(dz):
+        return (
+            corner(0, 0, dz)
+            | (corner(1, 0, dz) << 8)
+            | (corner(0, 1, dz) << 16)
+            | (corner(1, 1, dz) << 24)
+        ).astype(jnp.int32)
+
+    w = jnp.stack([word(0), word(1)], axis=-1)  # [..., g-1,g-1,g-1, 2]
+    return w.reshape(*sdf_i8.shape[:-3], (g - 1) ** 3, 2)
+
+
+def _unpack_byte_i8(word, k):
+    """Byte k of an i32 word → f32 value of the stored i8."""
+    b = (word >> (8 * k)) & 0xFF
+    return jnp.where(b >= 128, b - 256, b).astype(jnp.float32)
+
+
+def sample_packed_sdf_pairs(packed_flat, obj_idx, pts_grid, g: int):
+    """(value, unit gradient) of the trilinear interpolant, from packed
+    corner words. ``packed_flat``: [O·(G-1)³, 2] i32 (pack_cell_corners_i8
+    flattened over objects); ``obj_idx``: [...] object slot per sample;
+    ``pts_grid``: [..., 3] grid-space points in that object's grid.
+
+    ONE gather row (2 lanes) per sample. Cell starts clamp to [0, G-2]
+    (out-of-grid samples extrapolate the edge cell — they are far-positive
+    either way). Gradient is analytic from the same 8 corners."""
+    c3 = (g - 1) ** 3
+    q = pts_grid - 0.5
+    q0f = jnp.floor(q)
+    f = q - q0f
+    cell = jnp.clip(q0f.astype(jnp.int32), 0, g - 2)
+    flat = (
+        obj_idx * c3
+        + (cell[..., 0] * (g - 1) + cell[..., 1]) * (g - 1)
+        + cell[..., 2]
+    )
+    w = packed_flat[flat]  # [..., 2] — the single gather
+    w0, w1 = w[..., 0], w[..., 1]
+    c000, c100 = _unpack_byte_i8(w0, 0), _unpack_byte_i8(w0, 1)
+    c010, c110 = _unpack_byte_i8(w0, 2), _unpack_byte_i8(w0, 3)
+    c001, c101 = _unpack_byte_i8(w1, 0), _unpack_byte_i8(w1, 1)
+    c011, c111 = _unpack_byte_i8(w1, 2), _unpack_byte_i8(w1, 3)
+    return _trilinear_from_corners(
+        c000, c100, c010, c110, c001, c101, c011, c111, f
+    )
+
+
+def _trilinear_from_corners(c000, c100, c010, c110, c001, c101, c011, c111, f):
+    """(value, unit gradient) of the trilinear form given its 8 corners."""
+    fx, fy, fz = f[..., 0], f[..., 1], f[..., 2]
+
+    # interpolate along x
+    c00 = c000 * (1 - fx) + c100 * fx
+    c10 = c010 * (1 - fx) + c110 * fx
+    c01 = c001 * (1 - fx) + c101 * fx
+    c11 = c011 * (1 - fx) + c111 * fx
+    c0 = c00 * (1 - fy) + c10 * fy
+    c1 = c01 * (1 - fy) + c11 * fy
+    value = c0 * (1 - fz) + c1 * fz
+
+    # analytic partials of the trilinear form
+    dx00, dx10 = c100 - c000, c110 - c010
+    dx01, dx11 = c101 - c001, c111 - c011
+    gx = (dx00 * (1 - fy) + dx10 * fy) * (1 - fz) + (
+        dx01 * (1 - fy) + dx11 * fy
+    ) * fz
+    gy = ((c10 - c00) * (1 - fz)) + ((c11 - c01) * fz)
+    gz = c1 - c0
+    grad = jnp.stack([gx, gy, gz], axis=-1)
+    grad = grad / jnp.maximum(jnp.linalg.norm(grad, axis=-1, keepdims=True), 1e-9)
+    return value, grad
+
+
 def sample_sdf_trilinear_with_gradient(sdf, pts_grid):
     """(value, unit gradient) of the trilinear interpolant at grid-space
     points [...,3]. The gradient is ANALYTIC — differences of the same 8
@@ -123,7 +222,9 @@ def sample_sdf_trilinear_with_gradient(sdf, pts_grid):
 
     def at(dx, dy, dz):
         idx = jnp.clip(q0 + jnp.array([dx, dy, dz]), 0, g - 1)
-        return sdf[idx[..., 0], idx[..., 1], idx[..., 2]]
+        # f32 BEFORE differencing: the gradient partials below overflow in
+        # i8 for corner jumps > 127 codes (wrapped normals on steep SDFs)
+        return sdf[idx[..., 0], idx[..., 1], idx[..., 2]].astype(jnp.float32)
 
     c000, c100 = at(0, 0, 0), at(1, 0, 0)
     c010, c110 = at(0, 1, 0), at(1, 1, 0)
@@ -388,14 +489,27 @@ def voxel_contacts(
 
     # storage units → world units: i8 codes carry extent·step per code; the
     # f32 pool already stores world-unit distances
-    if is_encoded(pool.sdf):
+    encoded = is_encoded(pool.sdf)
+    if encoded:
         sdf_unit = pool.voxel_extent * QUANTIZATION_STEP_SIZE  # [O]
+        # pack each cell's 8 corners into 2 i32 words so the pair sampling
+        # below costs ONE gather row per probe instead of 8 (16 ms → ~2 ms
+        # of the step at bench scale, devtools/probe_voxel_contacts.py)
+        grid = pool.sdf.shape[-1]
+        packed_flat = pack_cell_corners_i8(pool.sdf).reshape(-1, 2)
     else:
         sdf_unit = jnp.ones_like(pool.voxel_extent)
 
     def sample_pair(a_obj, b_obj):
         pts = to_grid_of(b_obj, probe_world[a_obj])  # [P,3] grid coords of B
-        d, g_local = sample_sdf_trilinear_with_gradient(pool.sdf[b_obj], pts)
+        if encoded:
+            d, g_local = sample_packed_sdf_pairs(
+                packed_flat, b_obj, pts, grid
+            )
+        else:
+            d, g_local = sample_sdf_trilinear_with_gradient(
+                pool.sdf[b_obj], pts
+            )
         d = d * sdf_unit[b_obj]
         n_world = quat.rotate(q_b[b_obj][None], g_local)
         return d, n_world
