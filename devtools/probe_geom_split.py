@@ -151,6 +151,20 @@ def main():
         ranges, payload, big_rows, big_mask,
     )
 
+    timeit(
+        "kernel only n_attr=20 UNCOND (no block conds)",
+        lambda r, p, br, bm: rp._run(r, p, br, bm, th, tw, 32, 256, 20, False,
+                                     skip_empty=False),
+        ranges, payload, big_rows, big_mask,
+    )
+    # fewer candidate blocks: k_per_range=128 -> 2 blocks/window (ranges were
+    # built for k=256; counts>128 would drop, but timing is representative)
+    timeit(
+        "kernel only n_attr=20 k_per_range=128",
+        lambda r, p, br, bm: rp._run(r, p, br, bm, th, tw, 32, 128, 20, False),
+        ranges, payload, big_rows, big_mask,
+    )
+
     # kernel with fewer rows: slice payload to 12+3*na rows
     for na in (10, 4, 0):
         rows_pad = -(-(12 + 3 * na) // 8) * 8

@@ -489,16 +489,25 @@ def _bin_planes(
             n_drop.astype(jnp.int32), th, tw)
 
 
-def _make_kernel(tile, n_blocks, tw, rows, n_attr, p_pad):
+def _make_kernel(tile, n_blocks, tw, rows, n_attr, p_pad, skip_empty=True):
     """Kernel factory. ``n_attr`` == 0 -> depth-only.
 
     Grid steps are SEQUENTIAL on one TensorCore, and the per-step floor (4 DMA
     round trips + loop overhead, ~12 µs measured at tile=16/512²) dominates
     the whole raster at fine tilings. Two mitigations baked in here: candidate
     windows are DOUBLE-BUFFERED (step i starts step i+1's DMAs before waiting
-    on its own), and callers use 32-px tiles (4x fewer steps)."""
+    on its own), and callers use 32-px tiles (4x fewer steps).
+
+    ``skip_empty`` wraps each candidate block in a lax.cond that skips it
+    when the range holds no candidates — correctness never depends on it
+    (the ``have`` lane masks cover partial blocks)."""
     s2 = tile * tile
     oc = 2 * n_attr + 8 if n_attr else 0
+
+    def maybe(pred, fn, carry):
+        if not skip_empty:
+            return fn(carry)
+        return jax.lax.cond(pred, fn, lambda c: c, carry)
 
     def kernel(ranges_ref, payload, big_rows, big_mask,
                out_ref, data_s, sems):
@@ -585,9 +594,8 @@ def _make_kernel(tile, n_blocks, tw, rows, n_attr, p_pad):
                     geo = data_s[slot, r, j]
                     return eval_block(geo, gidx, s, cnt, carry)
 
-                best_z, best_i = jax.lax.cond(
-                    a + j * _LANES < s + cnt,
-                    do, lambda c: c, (best_z, best_i),
+                best_z, best_i = maybe(
+                    a + j * _LANES < s + cnt, do, (best_z, best_i)
                 )
 
         # big block: payload indices beyond p_pad mark big lanes
@@ -632,9 +640,7 @@ def _make_kernel(tile, n_blocks, tw, rows, n_attr, p_pad):
                         preferred_element_type=jnp.float32,
                     )
 
-                sel = jax.lax.cond(
-                    a + j * _LANES < s + cnt, sel_do, lambda acc: acc, sel
-                )
+                sel = maybe(a + j * _LANES < s + cnt, sel_do, sel)
         ohb = (best_i == bgidx).astype(jnp.float32)
         sel = sel + jax.lax.dot_general(
             ohb, big_rows[:, :],
@@ -673,7 +679,7 @@ def _make_kernel(tile, n_blocks, tw, rows, n_attr, p_pad):
 
 
 def _run(ranges, payload, big_rows, big_mask, th, tw, tile, k_per_range,
-         n_attr, interpret):
+         n_attr, interpret, skip_empty=True):
     n_tiles = th * tw
     rows = payload.shape[1]  # payload is blocked [NB, R, 128]
     p_pad = payload.shape[0] * _LANES
@@ -681,7 +687,8 @@ def _run(ranges, payload, big_rows, big_mask, th, tw, tile, k_per_range,
     # DMA window: a range starts <128 lanes into its first block and holds
     # up to k_per_range candidates
     n_blocks = 1 + -(-k_per_range // _LANES)
-    kernel, oc = _make_kernel(tile, n_blocks, tw, rows, n_attr, p_pad)
+    kernel, oc = _make_kernel(tile, n_blocks, tw, rows, n_attr, p_pad,
+                              skip_empty)
     if n_attr:
         out_shape = jax.ShapeDtypeStruct((n_tiles, s2, oc), jnp.float32)
         out_spec = pl.BlockSpec((1, s2, oc), lambda i, *_: (i, 0, 0),

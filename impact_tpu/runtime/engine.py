@@ -56,7 +56,7 @@ from ..voxel.interaction import (
     apply_absorption,
     empty_absorber_pools,
     fracture_object,
-    split_off_disconnected_region,
+    split_off_disconnected_regions,
 )
 from ..voxel.mesh import (
     CompactMesh,
@@ -478,35 +478,55 @@ def make_engine_step(
             state = jax.lax.cond(valid_e, do, lambda a: a, state)
         return state
 
+    n_split_objs = max(1, min(config.tpu.max_split_objects, o_max))
+    n_split_regions = max(1, min(config.tpu.max_split_regions, o_max))
+
     def _maybe_split(phys: PhysicsState, pool: VoxelObjectPool):
-        # one connectivity check per step on the first pending object; the
-        # pending flag persists across steps until CCL confirms connectivity
-        # (the reference processes splits incrementally too)
+        # up to ``max_split_objects`` pending objects checked per step, each
+        # extracting up to ``max_split_regions`` disconnected regions from
+        # one CCL labeling — a multi-way shatter that also disconnects
+        # settles in ~1 step instead of one region per step (ref:
+        # extraction.rs:78 extracts all regions as found). Pending flags
+        # persist across steps until CCL confirms connectivity.
         candidates = pool.split_pending & pool.alive
-        any_candidate = jnp.any(candidates)
-        obj = jnp.argmax(candidates)
-        free = ~pool.alive
-        free_slot = jnp.where(jnp.any(free), jnp.argmax(free), -1)
+        _, cand_objs = jax.lax.top_k(
+            candidates.astype(jnp.int32), n_split_objs
+        )
+        cand_valid = candidates[cand_objs]
 
-        def do(args):
-            phys, pool = args
-            pool2, did, disconnected = split_off_disconnected_region(
-                pool, obj, free_slot
-            )
-            # new fragment gets body pose/velocity from the source
-            new_mask = jnp.zeros(pool.n_objects, bool).at[
-                jnp.maximum(free_slot, 0)
-            ].set(did)
-            phys2 = _inherit_fragment_motion(
-                phys, pool2, pool.body_index[obj], new_mask
-            )
-            # still disconnected (split done → source may have more parts;
-            # or blocked on pool capacity) → keep pending; connected → clear
-            pool2 = pool2._replace(
-                split_pending=pool2.split_pending.at[obj].set(disconnected)
-            )
-            return phys2, pool2
+        # disjoint free-slot ranges per event (events mark slots alive as
+        # they run, but their ranges never collide — same pattern as
+        # _maybe_fracture)
+        free_order = jnp.argsort(pool.alive, stable=True)
+        free_all = jnp.where(
+            ~pool.alive[free_order], free_order, -1
+        ).astype(jnp.int32)
 
-        return jax.lax.cond(any_candidate, do, lambda a: a, (phys, pool))
+        state = (phys, pool)
+        for e in range(n_split_objs):
+            obj = cand_objs[e]
+            lo = e * n_split_regions
+            if lo + n_split_regions <= o_max:
+                slots = free_all[lo : lo + n_split_regions]
+            else:
+                slots = jnp.full(n_split_regions, -1, jnp.int32)
+
+            def do(args, obj=obj, slots=slots):
+                phys, pool = args
+                # the extraction clears/keeps the source's pending flag
+                # itself (components remaining — e.g. blocked on slots —
+                # stay pending; confirmed-connected clears)
+                pool2, n_new, _ = split_off_disconnected_regions(
+                    pool, obj, slots
+                )
+                # new fragments get body pose/velocity from the source
+                new_mask = pool2.alive & ~pool.alive
+                phys2 = _inherit_fragment_motion(
+                    phys, pool2, pool.body_index[obj], new_mask
+                )
+                return phys2, pool2
+
+            state = jax.lax.cond(cand_valid[e], do, lambda a: a, state)
+        return state
 
     return step

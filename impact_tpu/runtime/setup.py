@@ -1021,6 +1021,23 @@ def _compile_scene_impl(
     n_mesh = mesh_cursor
     mesh_instances = jax.tree.map(lambda a: a[:n_mesh], mesh_instances)
 
+    # trim collidable pools to the scene's actual counts (static per scene,
+    # like the light pools): voxel_contacts builds [O,P,n_pool] candidate
+    # sets per family, so unused pool slots multiply directly into the
+    # per-step contact cost (the bench scene has 1 plane and 0 spheres;
+    # untrimmed pools cost ~3 ms/step of dead candidates)
+    n_sph = max(1, cursor["sphere"])
+    n_pln = max(1, cursor["plane"])
+    n_cap = max(1, cursor["capsule"])
+    coll = coll._replace(
+        **{k: getattr(coll, k)[:n_sph] for k in coll._fields
+           if k.startswith("sph_")},
+        **{k: getattr(coll, k)[:n_pln] for k in coll._fields
+           if k.startswith("pln_")},
+        **{k: getattr(coll, k)[:n_cap] for k in coll._fields
+           if k.startswith("cap_")},
+    )
+
     # commit numpy staging to device arrays
     bodies = _committed(bodies)
     coll = _committed(coll)

@@ -306,6 +306,12 @@ class TpuConfig:
     absorption_gate_cap: int = 8
     max_fracture_fragments: int = 16  # seeds/event (≤ ref max_fragment_count)
     max_fracture_events: int = 2  # concurrent fracture events per step
+    # split-detection throughput: pending objects checked per step, and
+    # disconnected regions extracted per object per check (ref:
+    # extraction.rs:78 extracts regions as found — a multi-way shatter
+    # settles in ~1 step instead of one region per step)
+    max_split_objects: int = 4
+    max_split_regions: int = 3
     soft_shadows: bool = False  # PCSS-style soft shadows from light extents
     procedural_sky: bool = False  # gradient+sun skybox (ref: skybox.rs slot)
     sdf_encoding: str = "f32"  # "f32" | "i8" (ref: VoxelSignedDistance, lib.rs:60-73)

@@ -334,6 +334,90 @@ def split_off_disconnected_region(pool: VoxelObjectPool, obj_index, free_slot):
     return pool, can, disconnected
 
 
+def split_off_disconnected_regions(pool: VoxelObjectPool, obj_index, free_slots):
+    """Extract up to ``len(free_slots)`` disconnected regions of object
+    ``obj_index`` in ONE labeling pass (ref: extraction.rs:78 — the
+    reference extracts regions as it finds them; extraction order here is
+    by component label rather than smallest-first, which only affects
+    which fragment keeps the source's slot/body).
+
+    ``free_slots``: i32[R] distinct free pool slots (-1 = unavailable).
+    Each extracted region is one connected component, so new slots are NOT
+    marked split-pending. Returns (pool, n_split i32, disconnected_after
+    bool — components still remain in the source, e.g. blocked on slots)."""
+    occ = occupancy(pool)[obj_index]
+    labels = connected_component_labels(occ)
+    src_sdf = pool.sdf[obj_index]
+    far = far_value(pool.sdf.dtype, pool.voxel_extent[obj_index])
+    big = jnp.int32(1 << 30)
+    n_regions = free_slots.shape[0]
+
+    remaining = occ
+    new_src_sdf = src_sdf
+    n_split = jnp.int32(0)
+    sdf = pool.sdf
+    vtype = pool.vtype
+    voxel_extent = pool.voxel_extent
+    origin = pool.origin
+    alive = pool.alive
+    mesh_dirty = pool.mesh_dirty
+    split_pending = pool.split_pending
+
+    for r in range(n_regions):
+        lab = jnp.where(remaining, labels, big)
+        lmin = jnp.min(lab)
+        lmax = jnp.max(jnp.where(remaining, labels, -1))
+        has_two = lmin < lmax  # >1 component still in the source
+        slot = free_slots[r]
+        slotc = jnp.maximum(slot, 0)
+        can = has_two & (slot >= 0) & ~alive[slotc]
+        region = remaining & (labels == lmin)
+        dst_sdf = jnp.where(region, new_src_sdf, far)
+        sdf = sdf.at[slotc].set(jnp.where(can, dst_sdf, sdf[slotc]))
+        vtype = vtype.at[slotc].set(
+            jnp.where(can, pool.vtype[obj_index], vtype[slotc])
+        )
+        voxel_extent = voxel_extent.at[slotc].set(
+            jnp.where(can, pool.voxel_extent[obj_index], voxel_extent[slotc])
+        )
+        origin = origin.at[slotc].set(
+            jnp.where(can, pool.origin[obj_index], origin[slotc])
+        )
+        alive = alive.at[slotc].set(jnp.where(can, True, alive[slotc]))
+        mesh_dirty = mesh_dirty.at[slotc].set(
+            jnp.where(can, True, mesh_dirty[slotc])
+        )
+        split_pending = split_pending.at[slotc].set(
+            jnp.where(can, False, split_pending[slotc])
+        )
+        new_src_sdf = jnp.where(can & region, far, new_src_sdf)
+        remaining = jnp.where(can, remaining & ~region, remaining)
+        n_split = n_split + can.astype(jnp.int32)
+
+    did_any = n_split > 0
+    lab = jnp.where(remaining, labels, big)
+    disconnected_after = jnp.min(lab) < jnp.max(
+        jnp.where(remaining, labels, -1)
+    )
+    sdf = sdf.at[obj_index].set(
+        jnp.where(did_any, new_src_sdf, sdf[obj_index])
+    )
+    mesh_dirty = mesh_dirty.at[obj_index].set(
+        jnp.where(did_any, True, mesh_dirty[obj_index])
+    )
+    # the source's pending flag reflects whether components remain (the
+    # connectivity check just ran — a confirmed-connected source clears)
+    split_pending = split_pending.at[obj_index].set(disconnected_after)
+    return (
+        pool._replace(
+            sdf=sdf, vtype=vtype, voxel_extent=voxel_extent, origin=origin,
+            alive=alive, mesh_dirty=mesh_dirty, split_pending=split_pending,
+        ),
+        n_split,
+        disconnected_after,
+    )
+
+
 # --- fracturing -----------------------------------------------------------------
 
 

@@ -102,6 +102,49 @@ class TestEngine:
         # voxels conserved through fracture (no absorption in this scene)
         assert total_after == total_before
 
+    def test_multiway_disconnect_separates_within_two_steps(self):
+        # VERDICT-r3 item 7: a shatter that leaves one object holding 4
+        # disconnected components must become separate bodies within 2
+        # steps, not one region per step (ref: extraction.rs:78)
+        from impact_tpu.voxel import sdf as sdflib
+        from impact_tpu.voxel.encoding import encode_sdf_i8, is_encoded
+        from impact_tpu.voxel.object import generate_sdf_grid
+
+        world, cfg = small_tumbler()
+        cfg.tpu.max_voxel_objects = 8
+        cfg.tpu.max_bodies = 24
+        rt = HeadlessRuntime(compile_scene(world, cfg), cfg)
+        e = float(rt.sim.voxels.voxel_extent[0])
+        # 4 spheres of 2.5-voxel radius at ±4.5 voxels from center: all
+        # inside the 16³ grid (half-span 8 voxels), mutually disconnected
+        g4 = sdflib.union(
+            sdflib.union(
+                sdflib.translation(sdflib.sphere(2.5 * e), (-4.5 * e, -4.5 * e, 0)),
+                sdflib.translation(sdflib.sphere(2.5 * e), (4.5 * e, -4.5 * e, 0)),
+            ),
+            sdflib.union(
+                sdflib.translation(sdflib.sphere(2.5 * e), (-4.5 * e, 4.5 * e, 0)),
+                sdflib.translation(sdflib.sphere(2.5 * e), (4.5 * e, 4.5 * e, 0)),
+            ),
+        )
+        s, origin = generate_sdf_grid(g4, cfg.tpu.voxel_grid_size, e)
+        pool = rt.sim.voxels
+        stored = (encode_sdf_i8(s, pool.voxel_extent[0])
+                  if is_encoded(pool.sdf) else s)
+        pool = pool._replace(
+            sdf=pool.sdf.at[0].set(stored),
+            origin=pool.origin.at[0].set(origin),
+            split_pending=pool.split_pending.at[0].set(True),
+            mesh_dirty=pool.mesh_dirty.at[0].set(True),
+        )
+        rt.sim = rt.sim._replace(voxels=pool)
+        rt.step(2)
+        alive = np.asarray(rt.sim.voxels.alive)
+        counts = np.asarray(nonempty_counts(rt.sim.voxels))
+        assert int(alive.sum()) == 4, (alive, counts)
+        assert (counts[alive] > 0).all()
+        assert not bool(np.asarray(rt.sim.voxels.split_pending).any())
+
     def test_compile_scene_preserves_initial_motion(self):
         """Initial Motion velocities must become momenta at scene compile
         (ref: rigid_body.rs:423-437 sets p=m·v and L=I·ω at creation)."""

@@ -306,6 +306,75 @@ class TestDeformation:
         assert not bool(disconnected)
         assert not bool(pool2.alive[1])
 
+    def test_split_off_multiple_regions_one_pass(self):
+        # 4 disconnected spheres: one labeling pass extracts 3 regions into
+        # 3 free slots, source keeps the 4th (ref: extraction.rs:78 extracts
+        # regions as found)
+        from impact_tpu.voxel.interaction import (
+            split_off_disconnected_regions,
+        )
+
+        g = sdflib.union(
+            sdflib.union(
+                sdflib.translation(sdflib.sphere(3.0), (-8.0, -8.0, 0)),
+                sdflib.translation(sdflib.sphere(3.0), (8.0, -8.0, 0)),
+            ),
+            sdflib.union(
+                sdflib.translation(sdflib.sphere(3.0), (-8.0, 8.0, 0)),
+                sdflib.translation(sdflib.sphere(3.0), (8.0, 8.0, 0)),
+            ),
+        )
+        pool = empty_voxel_object_pool(8, G)
+        s, origin = generate_sdf_grid(g, G, 1.0)
+        pool = pool._replace(
+            sdf=pool.sdf.at[0].set(s),
+            origin=pool.origin.at[0].set(origin),
+            alive=pool.alive.at[0].set(True),
+            split_pending=pool.split_pending.at[0].set(True),
+        )
+        total = int(nonempty_counts(pool)[0])
+        slots = jnp.asarray([2, 3, 5], jnp.int32)
+        pool2, n_split, disconnected = split_off_disconnected_regions(
+            pool, jnp.asarray(0), slots
+        )
+        assert int(n_split) == 3
+        assert not bool(disconnected)  # source now one component
+        counts = np.asarray(nonempty_counts(pool2))
+        assert counts[[0, 2, 3, 5]].sum() == total
+        assert (counts[[0, 2, 3, 5]] > 0).all()
+        assert list(np.asarray(pool2.alive[:6])) == [
+            True, False, True, True, False, True,
+        ]
+        # extracted regions are single components — not re-pending
+        assert not bool(pool2.split_pending[2])
+        assert not bool(pool2.split_pending[0])
+
+    def test_split_off_regions_blocked_on_slots_stays_pending(self):
+        from impact_tpu.voxel.interaction import (
+            split_off_disconnected_regions,
+        )
+
+        g = sdflib.union(
+            sdflib.union(
+                sdflib.translation(sdflib.sphere(3.0), (-8.0, -8.0, 0)),
+                sdflib.translation(sdflib.sphere(3.0), (8.0, -8.0, 0)),
+            ),
+            sdflib.translation(sdflib.sphere(3.0), (0.0, 8.0, 0)),
+        )
+        pool = empty_voxel_object_pool(4, G)
+        s, origin = generate_sdf_grid(g, G, 1.0)
+        pool = pool._replace(
+            sdf=pool.sdf.at[0].set(s),
+            origin=pool.origin.at[0].set(origin),
+            alive=pool.alive.at[0].set(True),
+        )
+        # only ONE free slot offered for a 3-component object
+        pool2, n_split, disconnected = split_off_disconnected_regions(
+            pool, jnp.asarray(0), jnp.asarray([1, -1], jnp.int32)
+        )
+        assert int(n_split) == 1
+        assert bool(disconnected)  # 2 components still in the source
+
     def test_fracture_many_fragments_one_event(self):
         """One event can shatter into >10 fragments with voxels conserved
         (ref: fracturing.rs ≤512 fragments/event, seed grids + falloff)."""
