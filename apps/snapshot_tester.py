@@ -129,10 +129,13 @@ def _snapshot_config():
     cfg.tpu.max_bodies = 24
     cfg.tpu.max_contacts = 128
     cfg.tpu.voxel_grid_size = 32
-    cfg.tpu.render_width = 160
-    cfg.tpu.render_height = 120
+    # 320x240 (VERDICT-r3 weak 8: the 160x120 net was near-blind to shading
+    # regressions; the true-parity suite additionally runs at the
+    # reference's native 768x512 — apps/parity_snapshots.py)
+    cfg.tpu.render_width = 320
+    cfg.tpu.render_height = 240
     cfg.physics.simulator.initial_time_step_duration = 0.01
-    cfg.rendering.shadow_mapping.omnidirectional_light_shadow_map_resolution = 128
+    cfg.rendering.shadow_mapping.omnidirectional_light_shadow_map_resolution = 256
     return cfg
 
 

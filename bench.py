@@ -244,6 +244,13 @@ def main() -> dict:
     # v5e peak ≈ 197 TFLOP/s bf16 / ~98 TFLOP/s f32; the step is mostly f32
     mfu = flops / dt_step / 98e12 if flops else 0.0
 
+    fracture = {}
+    if os.environ.get("BENCH_FRACTURE", "1") != "0":
+        try:
+            fracture = bench_fracture()
+        except Exception as exc:
+            fracture = {"fracture_error": str(exc)[:300]}
+
     steps_per_sec = 1.0 / dt_step
     return {
         "metric": (
@@ -269,6 +276,97 @@ def main() -> dict:
         "geometry_roofline": geometry_roofline,
         "dropped_mesh_elements": list(rt.dropped_mesh_elements()),
         "dropped_raster_candidates": rt.dropped_raster_candidates(),
+        **fracture,
+    }
+
+
+def bench_fracture() -> dict:
+    """Reference-scale fracture event (ref: engine_config_no_assets.ron
+    max_fragment_count 512, fracturing.rs:338-371,508): a projectile
+    shatters a fracturable box into ≥128 Voronoi fragments. The event's
+    FULL pipeline — impulse trigger → seed sampling → carve → remesh of
+    every fragment → fresh collision probes — runs inside ONE engine step,
+    so the reported latency is (event-step wall time − steady-step wall
+    time), one dispatch each."""
+    import numpy as np
+
+    from impact_tpu.ecs import components as C
+    from impact_tpu.models import fracturing
+    from impact_tpu.runtime import HeadlessRuntime, compile_scene
+    from impact_tpu.utils.config import EngineConfig
+
+    n_frag = int(os.environ.get("BENCH_FRACTURE_FRAGMENTS", "128"))
+    cfg = EngineConfig()
+    cfg.tpu.max_voxel_objects = n_frag + 16
+    cfg.tpu.max_bodies = n_frag + 32
+    cfg.tpu.max_contacts = 1024
+    cfg.tpu.voxel_grid_size = 32
+    cfg.tpu.render_width = 320
+    cfg.tpu.render_height = 200
+    cfg.tpu.solver_mode = "jacobi"
+    cfg.tpu.sdf_encoding = os.environ.get("BENCH_SDF", "i8")
+    cfg.tpu.max_fracture_fragments = n_frag
+    cfg.tpu.max_fracture_events = 1
+    cfg.physics.simulator.initial_time_step_duration = 0.005
+
+    world = fracturing()
+    for eid in world.entities_with(C.FracturingProperties):
+        # fragment most of the box: radius spans it, threshold hits early
+        world.set_field(eid, C.FracturingProperties, "fracture_radius", 4.0)
+        world.set_field(eid, C.FracturingProperties, "impulse_threshold", 5.0)
+
+    t0 = time.perf_counter()
+    build = compile_scene(world, cfg)
+    _log(f"fracture compile_scene {time.perf_counter() - t0:.0f}s")
+    rt = HeadlessRuntime(build, cfg)
+    t0 = time.perf_counter()
+    rt.step(1)  # compile the single-step path (incl. fracture + remesh)
+    _log(f"fracture step compile {time.perf_counter() - t0:.0f}s")
+
+    # find the (deterministic) event step
+    alive0 = int(np.asarray(rt.sim.voxels.alive).sum())
+    k_event = None
+    for i in range(1, 401):
+        rt.step(1)
+        a = int(np.asarray(rt.sim.voxels.alive).sum())
+        if a > alive0:
+            k_event = i
+            n_fragments = a - alive0
+            break
+    if k_event is None:
+        return {"fracture_error": "no fracture event within 400 steps"}
+    _log(f"fracture event at step {k_event}: {n_fragments} fragments")
+
+    # replay: steady-state single-step baseline just before the event,
+    # then the timed event step (same compiled program, one dispatch each)
+    rt.reset_world()
+    rt.step(max(k_event - 6, 0))
+
+    def timed_step():
+        t0 = time.perf_counter()
+        rt.step(1)
+        np.asarray(jax.device_get(rt.sim.voxels.alive))
+        return time.perf_counter() - t0
+
+    import jax
+
+    pre = sorted(timed_step() for _ in range(5))
+    baseline = pre[len(pre) // 2]
+    event_s = timed_step()
+    a = int(np.asarray(rt.sim.voxels.alive).sum())
+    # the event can shift ±1 step vs discovery (warmup steps differ); walk
+    # forward until it fires
+    while a == alive0:
+        event_s = timed_step()
+        a = int(np.asarray(rt.sim.voxels.alive).sum())
+    dirty_after = int(np.asarray(rt.sim.voxels.mesh_dirty).sum())
+    dv, dt_drop = rt.dropped_mesh_elements()
+    return {
+        "fracture_event_ms": round(max(event_s - baseline, 0.0) * 1e3, 1),
+        "fracture_fragments": int(a - alive0),
+        "fracture_steady_step_ms": round(baseline * 1e3, 1),
+        "fracture_mesh_dirty_after_event": dirty_after,
+        "fracture_dropped_mesh_elements": [int(dv), int(dt_drop)],
     }
 
 

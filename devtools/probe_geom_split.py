@@ -92,14 +92,29 @@ def main():
             cols.append(cat)
         return jnp.concatenate(cols, axis=-1)
 
-    for n_attr in (20, 10, 4):
+    import os as _os
+
+    variants = [
+        tuple(int(x) for x in v.split(":"))
+        for v in _os.environ.get("GS_VARIANTS", "32:256,64:512").split(",")
+    ]
+    for n_attr in (20,):
         packed = jax.device_put(packed_attrs(n_attr))
-        timeit(
-            f"rasterize_attributes_pos n_attr={n_attr}",
-            lambda tp, ta, pk: rp.rasterize_attributes_pos(
-                tp, ta, pk, vp, H, W, tile=32, k_per_range=256),
-            tri_pos, tri_active, packed,
-        )
+        for tile, k in variants:
+            f = jax.jit(
+                lambda tp, ta, pk, tile=tile, k=k: rp.rasterize_attributes_pos(
+                    tp, ta, pk, vp, H, W, tile=tile, k_per_range=k,
+                    return_drops=True)
+            )
+            drops = int(f(tri_pos, tri_active, packed)[3])
+            timeit(
+                f"rasterize_attributes_pos tile={tile} k={k} drops={drops}",
+                lambda tp, ta, pk, tile=tile, k=k: rp.rasterize_attributes_pos(
+                    tp, ta, pk, vp, H, W, tile=tile, k_per_range=k),
+                tri_pos, tri_active, packed,
+            )
+    if _os.environ.get("GS_FULL", "0") != "1":
+        return
 
     packed20 = jax.device_put(packed_attrs(20))
 

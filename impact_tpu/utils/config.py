@@ -304,7 +304,11 @@ class TpuConfig:
     # absorption runs dense only on the ≤cap objects whose bounding spheres
     # overlap an absorber (gathered sub-pool) — O(K·G³), not O(O·G³)
     absorption_gate_cap: int = 8
-    max_fracture_fragments: int = 16  # seeds/event (≤ ref max_fragment_count)
+    # seeds/event — effective count is min(this, the RON impact config's
+    # max_fragment_count (ref default 512), max_voxel_objects), so small
+    # pools stay small; memory-bounded at 128 vs the reference's 512
+    # (fracturing.rs:61-70, engine_config_no_assets.ron)
+    max_fracture_fragments: int = 128
     max_fracture_events: int = 2  # concurrent fracture events per step
     # split-detection throughput: pending objects checked per step, and
     # disconnected regions extracted per object per check (ref:

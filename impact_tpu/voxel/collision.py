@@ -268,6 +268,85 @@ def bounding_radii(pool: VoxelObjectPool):
     return center_off + half * jnp.sqrt(3.0)
 
 
+# Morton-window broad phase engages above this pool size; below it the
+# dense all-pairs mask is cheaper than the sort
+MORTON_BROAD_PHASE_MIN_OBJECTS = 128
+
+
+def broad_phase_pairs(
+    centers, radii, alive, max_pairs: int,
+    window: int = 16, large_count: int = 4, margin=0.0,
+):
+    """Candidate object pairs for narrow-phase SDF probing.
+
+    Ref: impact_intersection/src/bounding_volume/hierarchy.rs:14-26 — the
+    reference walks a Morton-built BVH for all-internal-pairs queries. The
+    TPU shape: sort by Morton code of the bounding-sphere centers and test
+    each object against its ``window`` successors in sorted order (spatial
+    neighbors are Morton-near for pile-like scenes), plus a dense lane
+    testing the ``large_count`` largest objects against everyone (large
+    bodies break Morton locality). Candidate generation is
+    O(N·window + large_count·N), not O(N²); pairs are DIRECTIONAL (both
+    (a,b) and (b,a) emitted — voxel narrow phase probes A against B's SDF).
+
+    Returns (pair_a i32[max_pairs], pair_b i32[max_pairs],
+    valid bool[max_pairs]) compacted valid-first."""
+    from ..math.morton import morton_codes_for_points
+
+    n = centers.shape[0]
+    big = jnp.float32(3.0e38)
+    scene_lo = jnp.min(jnp.where(alive[:, None], centers, big), axis=0)
+    scene_hi = jnp.max(jnp.where(alive[:, None], centers, -big), axis=0)
+    codes = morton_codes_for_points(centers, scene_lo, scene_hi)
+    codes = jnp.where(alive, codes, jnp.uint32(0xFFFFFFFF))
+    order = jnp.argsort(codes).astype(jnp.int32)  # rank → object
+    rank = jnp.argsort(order).astype(jnp.int32)  # object → rank
+
+    def overlap(a, b):
+        sep = jnp.linalg.norm(centers[a] - centers[b], axis=-1)
+        m = margin if jnp.ndim(margin) == 0 else 0.5 * (margin[a] + margin[b])
+        return sep < radii[a] + radii[b] + m
+
+    # window lane: rank i vs ranks i+1..i+window, both directions
+    i = jnp.arange(n, dtype=jnp.int32)
+    d = jnp.arange(1, window + 1, dtype=jnp.int32)
+    ai = jnp.broadcast_to(i[:, None], (n, window))
+    bi = ai + d[None, :]
+    in_range = bi < n
+    a_obj = order[ai]
+    b_obj = order[jnp.minimum(bi, n - 1)]
+    ok_w = (
+        in_range & alive[a_obj] & alive[b_obj] & overlap(a_obj, b_obj)
+    )
+    wa = jnp.concatenate([a_obj.reshape(-1), b_obj.reshape(-1)])
+    wb = jnp.concatenate([b_obj.reshape(-1), a_obj.reshape(-1)])
+    wv = jnp.concatenate([ok_w.reshape(-1), ok_w.reshape(-1)])
+
+    # large lane: biggest objects vs everyone not already window-covered
+    _, large_idx = jax.lax.top_k(jnp.where(alive, radii, -jnp.inf), large_count)
+    la = jnp.broadcast_to(large_idx[:, None], (large_count, n))
+    lb = jnp.broadcast_to(i[None, :], (large_count, n))
+    covered = jnp.abs(rank[la] - rank[lb]) <= window
+    # a large-large pair would appear in BOTH large rows (duplicate keys →
+    # double impulses); keep only the la<lb representative
+    is_large = jnp.zeros(n, bool).at[large_idx].set(True)
+    dup = is_large[lb] & (lb < la)
+    ok_l = (
+        alive[la] & alive[lb] & (la != lb) & ~covered & ~dup
+        & overlap(la, lb)
+    )
+    va = jnp.concatenate([wa, la.reshape(-1), lb.reshape(-1)])
+    vb = jnp.concatenate([wb, lb.reshape(-1), la.reshape(-1)])
+    vv = jnp.concatenate([wv, ok_l.reshape(-1), ok_l.reshape(-1)])
+
+    take = jnp.argsort(~vv, stable=True)[:max_pairs]
+    return (
+        va[take].astype(jnp.int32),
+        vb[take].astype(jnp.int32),
+        vv[take],
+    )
+
+
 INTERLOCK_ALIGNMENT_THRESHOLD = 0.1  # ref: contact.rs:611
 
 
@@ -514,24 +593,48 @@ def voxel_contacts(
         n_world = quat.rotate(q_b[b_obj][None], g_local)
         return d, n_world
 
-    # broad phase: bounding-sphere overlap → static pair budget
+    # broad phase: bounding-sphere overlap → static pair budget. Small pools
+    # use the dense all-pairs mask; large pools switch to Morton-window
+    # candidate generation (O(N·window), ref: hierarchy.rs:14-26 BVH pair
+    # queries) so neither the [O,O] mask nor its O²-element argsort scales
+    # quadratically at pod sizes.
     radii = bounding_radii(pool)
-    sep = jnp.linalg.norm(
-        x_b[:, None, :] - x_b[None, :, :], axis=-1
-    )  # [O,O] body-origin distances
-    margin = 0.5 * (pool.voxel_extent[:, None] + pool.voxel_extent[None, :])
-    overlap = sep < radii[:, None] + radii[None, :] + margin
-    valid_pair = (
-        pool.alive[:, None]
-        & pool.alive[None, :]
-        & (jnp.arange(o)[:, None] != jnp.arange(o)[None, :])
-        & overlap
-    )
-    flat_valid = valid_pair.reshape(-1)
-    order = jnp.argsort(~flat_valid, stable=True)[:max_pairs]
-    pair_valid = flat_valid[order]
-    pair_a = (order // o).astype(jnp.int32)
-    pair_b = (order % o).astype(jnp.int32)
+    if o >= MORTON_BROAD_PHASE_MIN_OBJECTS:
+        pair_a, pair_b, pair_valid = broad_phase_pairs(
+            x_b, radii, pool.alive, max_pairs,
+            margin=pool.voxel_extent,
+        )
+        # warm-start joins need the contact buffer key-ascending; Morton
+        # candidates arrive in rank order, so re-sort the (small) selected
+        # pair list by its (a,b) key
+        pkey = jnp.where(
+            pair_valid,
+            pair_a.astype(jnp.uint32) * o + pair_b.astype(jnp.uint32),
+            jnp.uint32(0xFFFFFFFF),
+        )
+        reorder = jnp.argsort(pkey)
+        pair_a = pair_a[reorder]
+        pair_b = pair_b[reorder]
+        pair_valid = pair_valid[reorder]
+    else:
+        sep = jnp.linalg.norm(
+            x_b[:, None, :] - x_b[None, :, :], axis=-1
+        )  # [O,O] body-origin distances
+        margin = 0.5 * (
+            pool.voxel_extent[:, None] + pool.voxel_extent[None, :]
+        )
+        overlap = sep < radii[:, None] + radii[None, :] + margin
+        valid_pair = (
+            pool.alive[:, None]
+            & pool.alive[None, :]
+            & (jnp.arange(o)[:, None] != jnp.arange(o)[None, :])
+            & overlap
+        )
+        flat_valid = valid_pair.reshape(-1)
+        order = jnp.argsort(~flat_valid, stable=True)[:max_pairs]
+        pair_valid = flat_valid[order]
+        pair_a = (order // o).astype(jnp.int32)
+        pair_b = (order % o).astype(jnp.int32)
 
     d_ab, n_ab = jax.vmap(sample_pair)(pair_a, pair_b)  # [MP,P], [MP,P,3]
     dep = 0.5 * pool.voxel_extent[pair_a][:, None] - d_ab

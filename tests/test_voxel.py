@@ -684,3 +684,103 @@ class TestLargeGrid:
         assert np.all(np.isfinite(pos))
         img = np.asarray(rt.render())
         assert (img.sum(-1) > 0).sum() > 200  # asteroid visible
+
+
+class TestMortonBroadPhase:
+    """Morton-window broad phase (ref: hierarchy.rs:14-26 BVH pair queries;
+    VERDICT-r3 item 8 — candidate generation must stay o(N²))."""
+
+    def _dense_pairs(self, centers, radii, alive, margin):
+        n = centers.shape[0]
+        out = set()
+        for a in range(n):
+            for b in range(n):
+                if a == b or not (alive[a] and alive[b]):
+                    continue
+                m = 0.5 * (margin[a] + margin[b])
+                if np.linalg.norm(centers[a] - centers[b]) < (
+                    radii[a] + radii[b] + m
+                ):
+                    out.add((a, b))
+        return out
+
+    def test_tower_pile_full_recall_and_no_duplicates(self):
+        from impact_tpu.voxel.collision import broad_phase_pairs
+
+        n = 160
+        centers = np.zeros((n, 3), np.float32)
+        centers[:, 1] = np.arange(n) * 1.8  # touching neighbors (r=1)
+        radii = np.ones(n, np.float32)
+        alive = np.ones(n, bool)
+        margin = np.zeros(n, np.float32)
+        pa, pb, valid = broad_phase_pairs(
+            jnp.asarray(centers), jnp.asarray(radii), jnp.asarray(alive),
+            max_pairs=4 * n, margin=jnp.asarray(margin),
+        )
+        got = {
+            (int(a), int(b))
+            for a, b, v in zip(np.asarray(pa), np.asarray(pb), np.asarray(valid))
+            if v
+        }
+        expected = self._dense_pairs(centers, radii, alive, margin)
+        assert expected, "test setup: tower must have overlaps"
+        assert expected <= got or expected == got
+        assert got == expected  # soundness both ways on a tower
+        assert len(got) == len(set(got))  # no duplicate directional pairs
+
+    def test_clustered_recall_and_soundness(self):
+        from impact_tpu.voxel.collision import broad_phase_pairs
+
+        rng = np.random.default_rng(11)
+        n = 200
+        centers = rng.uniform(0, 14, (n, 3)).astype(np.float32)
+        radii = rng.uniform(0.6, 1.2, n).astype(np.float32)
+        alive = rng.random(n) < 0.9
+        margin = np.full(n, 0.1, np.float32)
+        pa, pb, valid = broad_phase_pairs(
+            jnp.asarray(centers), jnp.asarray(radii), jnp.asarray(alive),
+            max_pairs=8 * n, margin=jnp.asarray(margin),
+        )
+        got = {
+            (int(a), int(b))
+            for a, b, v in zip(np.asarray(pa), np.asarray(pb), np.asarray(valid))
+            if v
+        }
+        expected = self._dense_pairs(centers, radii, alive, margin)
+        # soundness: every candidate really overlaps
+        assert got <= expected
+        # recall on random clusters (Morton windows miss some non-local
+        # pairs by design; the large-object lane catches the worst)
+        recall = len(got & expected) / max(len(expected), 1)
+        assert recall >= 0.8, recall
+        assert len(got) == len(set(got))
+
+    def test_large_object_lane_catches_nonlocal_overlaps(self):
+        from impact_tpu.voxel.collision import broad_phase_pairs
+
+        rng = np.random.default_rng(3)
+        n = 150
+        centers = rng.uniform(0, 60, (n, 3)).astype(np.float32)
+        radii = np.full(n, 0.5, np.float32)
+        # one huge object overlapping everything, far in Morton order
+        centers[0] = (30.0, 30.0, 30.0)
+        radii[0] = 60.0
+        alive = np.ones(n, bool)
+        margin = np.zeros(n, np.float32)
+        pa, pb, valid = broad_phase_pairs(
+            jnp.asarray(centers), jnp.asarray(radii), jnp.asarray(alive),
+            max_pairs=4 * n, margin=jnp.asarray(margin),
+        )
+        got = {
+            (int(a), int(b))
+            for a, b, v in zip(np.asarray(pa), np.asarray(pb), np.asarray(valid))
+            if v
+        }
+        # the big object must pair with every other object, both directions
+        with_big = {p for p in got if 0 in p}
+        assert len(with_big) >= 2 * (n - 1) - len(got - with_big) * 0
+        missing = [
+            b for b in range(1, n)
+            if (0, b) not in got or (b, 0) not in got
+        ]
+        assert not missing, missing[:5]
