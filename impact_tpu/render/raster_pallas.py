@@ -619,6 +619,11 @@ def _make_kernel(tile, n_blocks, tw, rows, n_attr, p_pad, skip_empty=True):
         best_i = jnp.where(bz < _INF, bi, -1)
 
         # ---- winner payload via one-hot MXU selects over the same blocks ----
+        # Each select block costs ~1 µs (the [s2,128] one-hot build is
+        # VPU-bound), but candidates are z-sorted NEAREST-FIRST within each
+        # bin, so winners concentrate in each range's first block — skip
+        # blocks that own no winner (a winner index belongs to exactly one
+        # (range, block): bins partition the sorted payload).
         valid = best_i >= 0
         sel = jnp.zeros((s2, rows), jnp.float32)
         for r in range(_N_WINDOWS):
@@ -640,7 +645,10 @@ def _make_kernel(tile, n_blocks, tw, rows, n_attr, p_pad, skip_empty=True):
                         preferred_element_type=jnp.float32,
                     )
 
-                sel = maybe(a + j * _LANES < s + cnt, sel_do, sel)
+                lo = jnp.maximum(a + j * _LANES, s)
+                hi = jnp.minimum(a + (j + 1) * _LANES, s + cnt)
+                any_winner = jnp.any((best_i >= lo) & (best_i < hi))
+                sel = maybe((lo < hi) & any_winner, sel_do, sel)
         ohb = (best_i == bgidx).astype(jnp.float32)
         sel = sel + jax.lax.dot_general(
             ohb, big_rows[:, :],
