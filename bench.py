@@ -250,6 +250,11 @@ def main() -> dict:
             fracture = bench_fracture()
         except Exception as exc:
             fracture = {"fracture_error": str(exc)[:300]}
+    if os.environ.get("BENCH_CHUNKED", "1") != "0":
+        try:
+            fracture.update(bench_chunked_64())
+        except Exception as exc:
+            fracture["chunked64_error"] = str(exc)[:300]
 
     steps_per_sec = 1.0 / dt_step
     return {
@@ -367,6 +372,83 @@ def bench_fracture() -> dict:
         "fracture_steady_step_ms": round(baseline * 1e3, 1),
         "fracture_mesh_dirty_after_event": dirty_after,
         "fracture_dropped_mesh_elements": [int(dv), int(dt_drop)],
+    }
+
+
+def bench_chunked_64() -> dict:
+    """64³ objects via chunk-gated meshing (ref: object.rs:75-101 chunked
+    grids + mesh.rs:360 incremental remesh — VERDICT-r3 item 4): an
+    Asteroid-scale 64³ object under CONTINUOUS absorption, where every step
+    re-meshes dirty chunks. Logs the per-step cost together with the
+    surface-chunk count it should track."""
+    import numpy as np
+
+    from impact_tpu.ecs import components as C
+    from impact_tpu.models import asteroid
+    from impact_tpu.runtime import HeadlessRuntime, compile_scene
+    from impact_tpu.utils.config import EngineConfig
+    from impact_tpu.voxel.object import (
+        nonempty_counts,
+        surface_chunk_counts,
+    )
+
+    cfg = EngineConfig()
+    cfg.tpu.max_voxel_objects = 4
+    cfg.tpu.max_bodies = 12
+    cfg.tpu.max_contacts = 256
+    cfg.tpu.voxel_grid_size = 64
+    cfg.tpu.render_width = 320
+    cfg.tpu.render_height = 200
+    cfg.tpu.solver_mode = "jacobi"
+    cfg.tpu.sdf_encoding = os.environ.get("BENCH_SDF", "i8")
+    cfg.tpu.chunked_remesh = True
+    cfg.tpu.chunk_submesh_slots = 512
+    cfg.tpu.chunk_remesh_budget = int(
+        os.environ.get("BENCH_CHUNK_BUDGET", "16")
+    )
+    cfg.physics.simulator.initial_time_step_duration = 0.005
+
+    world = asteroid()
+    for eid in world.entities_with(C.VoxelSphere):
+        # fill the 64³ grid: radius 28 voxels of extent 0.3
+        world.set_field(eid, C.VoxelSphere, "radius", 8.4)
+    # a continuous absorber keeps chunks dirty so the remesh path is IN the
+    # measured loop
+    world.create_entity(
+        C.ReferenceFrame(position=(4.0, 4.0, 0.0)),
+        C.VoxelAbsorbingSphere(offset=(0.0, 0.0, 0.0), radius=3.0, rate=2.0),
+    )
+    t0 = time.perf_counter()
+    build = compile_scene(world, cfg)
+    _log(f"chunked64 compile_scene {time.perf_counter() - t0:.0f}s")
+    rt = HeadlessRuntime(build, cfg, enable_fracturing=False)
+    k = rt._step_batch_size
+    t0 = time.perf_counter()
+    rt.step(2 * k)
+    _log(f"chunked64 warmup {time.perf_counter() - t0:.0f}s")
+
+    import jax
+
+    def _sync():
+        np.asarray(jax.device_get(rt.sim.voxels.alive))
+
+    _sync()
+    n = 50
+    t0 = time.perf_counter()
+    rt.step(n)
+    _sync()
+    step_ms = (time.perf_counter() - t0) / n * 1e3
+
+    n_vox = int(np.sum(np.asarray(nonempty_counts(rt.sim.voxels))))
+    n_surf = int(np.sum(np.asarray(surface_chunk_counts(rt.sim.voxels))))
+    dv, dt_drop = rt.dropped_mesh_elements()
+    return {
+        "chunked64_step_ms": round(step_ms, 1),
+        "chunked64_active_voxels": n_vox,
+        "chunked64_surface_chunks": n_surf,
+        "chunked64_total_chunks": 4 * 64,
+        "chunked64_remesh_budget": cfg.tpu.chunk_remesh_budget,
+        "chunked64_dropped_mesh_elements": [int(dv), int(dt_drop)],
     }
 
 

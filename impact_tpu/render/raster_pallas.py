@@ -645,10 +645,7 @@ def _make_kernel(tile, n_blocks, tw, rows, n_attr, p_pad, skip_empty=True):
                         preferred_element_type=jnp.float32,
                     )
 
-                lo = jnp.maximum(a + j * _LANES, s)
-                hi = jnp.minimum(a + (j + 1) * _LANES, s + cnt)
-                any_winner = jnp.any((best_i >= lo) & (best_i < hi))
-                sel = maybe((lo < hi) & any_winner, sel_do, sel)
+                sel = maybe(a + j * _LANES < s + cnt, sel_do, sel)
         ohb = (best_i == bgidx).astype(jnp.float32)
         sel = sel + jax.lax.dot_general(
             ohb, big_rows[:, :],

@@ -253,6 +253,17 @@ def make_engine_step(
         else:
             remesh_budget = min(o_max, 4)
 
+    chunked = bool(config.tpu.chunked_remesh)
+    if chunked:
+        from ..voxel.chunk_mesh import (
+            mark_objects_dirty as _cm_mark,
+            remesh_chunks as _cm_remesh,
+            reset_objects as _cm_reset,
+        )
+
+        chunk_budget = config.tpu.chunk_remesh_budget
+        chunk_vert_cap = config.tpu.chunk_vert_cap
+
     # scenes without absorbers skip the O(O·G³) absorption pass entirely
     # (static decision — the absorber pools are scene constants)
     has_absorbers = bool(
@@ -341,7 +352,18 @@ def make_engine_step(
 
         # 5. inertia/COM sync + remesh + probe refresh for up to
         #    ``remesh_budget`` dirty objects (gathered — cost is O(R·G³), not
-        #    O(O·G³); the rest stay dirty for following steps)
+        #    O(O·G³); the rest stay dirty for following steps). In chunked
+        #    mode the expensive surface meshing moves to the per-CHUNK pass
+        #    below; this sync keeps the cheap elementwise work (inertia,
+        #    probes) object-granular.
+        meshes = sim.meshes
+        if chunked:
+            # object slots reused for new fragments must detach from the
+            # submesh pool before their chunks re-mesh (stale slot_of
+            # entries would alias recycled slots)
+            new_objs = pool.alive & ~sim.voxels.alive
+            meshes = _cm_reset(meshes, new_objs)
+            meshes = _cm_mark(meshes, pool.mesh_dirty)
         dirty = pool.mesh_dirty
         any_dirty = jnp.any(dirty)
 
@@ -364,22 +386,30 @@ def make_engine_step(
                 ),
             )
             sub2 = sub2._replace(origin=pool2.origin[order])
-            from ..voxel.encoding import sdf_world
+            if not chunked:
+                from ..voxel.encoding import sdf_world
 
-            full = make_surface_nets_batched(
-                config.tpu.mesh_merge_levels
-            )(sdf_world(sub2.sdf, sub2.voxel_extent), sub2.vtype)
-            sub_mesh = compact_mesh_batched(full, mesh_vert_cap, mesh_tri_cap)
-            sub_mesh = bake_mesh_materials(sub_mesh, params.material_table)
-            meshes2 = jax.tree.map(
-                lambda old, new: old.at[order].set(
-                    jnp.where(
-                        sel.reshape((-1,) + (1,) * (new.ndim - 1)), new, old[order]
-                    )
-                ),
-                meshes,
-                sub_mesh,
-            )
+                full = make_surface_nets_batched(
+                    config.tpu.mesh_merge_levels
+                )(sdf_world(sub2.sdf, sub2.voxel_extent), sub2.vtype)
+                sub_mesh = compact_mesh_batched(
+                    full, mesh_vert_cap, mesh_tri_cap
+                )
+                sub_mesh = bake_mesh_materials(
+                    sub_mesh, params.material_table
+                )
+                meshes2 = jax.tree.map(
+                    lambda old, new: old.at[order].set(
+                        jnp.where(
+                            sel.reshape((-1,) + (1,) * (new.ndim - 1)),
+                            new, old[order]
+                        )
+                    ),
+                    meshes,
+                    sub_mesh,
+                )
+            else:
+                meshes2 = meshes
             sub_probes = extract_probes(sub2, params.voxel_response[order])
             probes2 = jax.tree.map(
                 lambda old, new: old.at[order].set(
@@ -393,8 +423,24 @@ def make_engine_step(
             return phys2, pool2, meshes2, probes2
 
         phys, pool, meshes, probes = jax.lax.cond(
-            any_dirty, do_sync, lambda a: a, (phys, pool, sim.meshes, sim.probes)
+            any_dirty, do_sync, lambda a: a, (phys, pool, meshes, sim.probes)
         )
+
+        # 5b. chunk-gated surface remesh: up to ``chunk_budget`` dirty
+        #     surface chunks per step — cost tracks the surface-chunk count,
+        #     never O·G³ (ref: mesh.rs:360 incremental invalidated-chunk
+        #     remeshing)
+        if chunked:
+            meshes = jax.lax.cond(
+                jnp.any(meshes.chunk_dirty & pool.alive[:, None]),
+                lambda m: _cm_remesh(
+                    m, pool, params.material_table, chunk_budget,
+                    chunk_vert_cap,
+                    merge_levels=config.tpu.mesh_merge_levels,
+                ),
+                lambda m: m,
+                meshes,
+            )
 
         return SimState(
             phys=phys,

@@ -324,15 +324,25 @@ class HeadlessRuntime:
         this; nonzero means the caps are undersized for the scene)."""
         import numpy as np
 
-        dropped_tris = int(np.asarray(jnp.sum(self.sim.meshes.n_dropped_tris)))
-        k = self.config.tpu.render_tris_per_object
-        if k > 0:
-            per_obj = jnp.sum(self.sim.meshes.tri_active, axis=-1)
-            dropped_tris += int(
-                np.asarray(jnp.sum(jnp.maximum(per_obj - k, 0)))
+        from ..voxel.chunk_mesh import ChunkMeshPool
+
+        meshes = self.sim.meshes
+        dropped_tris = int(np.asarray(jnp.sum(meshes.n_dropped_tris)))
+        if isinstance(meshes, ChunkMeshPool):
+            # chunk slots are surface-exact; blocked chunks are whole
+            # submeshes that could not allocate (pool exhausted)
+            dropped_tris += self.config.tpu.chunk_tri_cap * int(
+                np.asarray(meshes.n_dropped_chunks)
             )
+        else:
+            k = self.config.tpu.render_tris_per_object
+            if k > 0:
+                per_obj = jnp.sum(meshes.tri_active, axis=-1)
+                dropped_tris += int(
+                    np.asarray(jnp.sum(jnp.maximum(per_obj - k, 0)))
+                )
         return (
-            int(np.asarray(jnp.sum(self.sim.meshes.n_dropped_verts))),
+            int(np.asarray(jnp.sum(meshes.n_dropped_verts))),
             dropped_tris,
         )
 

@@ -1095,15 +1095,49 @@ def _compile_scene_impl(
             phys.bodies, phys.bodies.velocity, phys.bodies.angular_velocity
         )
     )
-    full = make_surface_nets_batched(config.tpu.mesh_merge_levels)(
-        _sdf_world(pool.sdf, pool.voxel_extent), pool.vtype
-    )
     mesh_vert_cap = config.tpu.mesh_vert_cap or min(4096, (g - 1) ** 3)
     mesh_tri_cap = config.tpu.mesh_tri_cap or min(8192, 6 * (g - 1) ** 3)
-    meshes = compact_mesh_batched(full, mesh_vert_cap, mesh_tri_cap)
-    from ..voxel.mesh import bake_mesh_materials
+    if config.tpu.chunked_remesh:
+        # chunk-gated meshing: shared chunk-submesh slot pool, meshed to
+        # completion here (host loop; the engine step re-meshes
+        # incrementally per budget)
+        from ..voxel.chunk_mesh import (
+            empty_chunk_mesh_pool,
+            mark_objects_dirty,
+            n_chunks_per_object,
+            remesh_chunks,
+        )
 
-    meshes = bake_mesh_materials(meshes, params.material_table)
+        s_max = config.tpu.chunk_submesh_slots or min(
+            o_max * n_chunks_per_object(g), 1024
+        )
+        meshes = empty_chunk_mesh_pool(
+            s_max, config.tpu.chunk_tri_cap, o_max, g
+        )
+        meshes = mark_objects_dirty(meshes, pool.alive)
+        setup_budget = 64
+        for _ in range(-(-o_max * n_chunks_per_object(g) // setup_budget)):
+            if not bool(jnp.any(meshes.chunk_dirty & pool.alive[:, None])):
+                break
+            meshes = remesh_chunks(
+                meshes, pool, params.material_table, setup_budget,
+                config.tpu.chunk_vert_cap,
+                merge_levels=config.tpu.mesh_merge_levels,
+            )
+        if int(meshes.n_dropped_chunks) > 0:
+            raise ValueError(
+                "chunk-submesh pool exhausted at setup: "
+                f"{int(meshes.n_dropped_chunks)} surface chunks blocked "
+                "(raise tpu.chunk_submesh_slots)"
+            )
+    else:
+        full = make_surface_nets_batched(config.tpu.mesh_merge_levels)(
+            _sdf_world(pool.sdf, pool.voxel_extent), pool.vtype
+        )
+        meshes = compact_mesh_batched(full, mesh_vert_cap, mesh_tri_cap)
+        from ..voxel.mesh import bake_mesh_materials
+
+        meshes = bake_mesh_materials(meshes, params.material_table)
     pool = pool._replace(mesh_dirty=jnp.zeros_like(pool.mesh_dirty))
 
     from ..render.pipeline import RenderConfig, init_render_state

@@ -191,7 +191,35 @@ def build_render_scene(
     ``tris_per_object`` > 0 takes only the LEADING slots of each object's
     mesh — compact_mesh packs actives to the front, so this is a free
     (slice-only) render compaction; callers account overflow via the active
-    counts (HeadlessRuntime.dropped_mesh_elements)."""
+    counts (HeadlessRuntime.dropped_mesh_elements).
+
+    ``meshes`` may also be a ChunkMeshPool (chunk-gated meshing): slots are
+    surface chunks already, so per-object slicing does not apply."""
+    from ..voxel.chunk_mesh import ChunkMeshPool, chunk_mesh_scene_fields
+
+    if isinstance(meshes, ChunkMeshPool):
+        parts = [chunk_mesh_scene_fields(
+            meshes, pool,
+            body_position, body_orientation,
+            body_position_prev, body_orientation_prev,
+        )]
+        if not voxel_texture_layers:
+            parts[0]["tri_material"] = jnp.full_like(
+                parts[0]["tri_material"], -1
+            )
+        if static_geometry.tri_active.shape[0] > 0:
+            parts.append(static_geometry_corners(static_geometry))
+        if mesh_instances is not None and mesh_instances.alive.shape[0] > 0:
+            parts.append(_mesh_instance_corners(
+                mesh_instances,
+                body_position, body_orientation,
+                body_position_prev, body_orientation_prev,
+            ))
+        fields = {
+            k: jnp.concatenate([p[k] for p in parts]) for k in parts[0]
+        }
+        return RenderScene(**fields)
+
     if 0 < tris_per_object < meshes.tri_pos.shape[1]:
         k = tris_per_object
         meshes = meshes._replace(

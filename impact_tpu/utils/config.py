@@ -310,6 +310,15 @@ class TpuConfig:
     # (fracturing.rs:61-70, engine_config_no_assets.ron)
     max_fracture_fragments: int = 128
     max_fracture_events: int = 2  # concurrent fracture events per step
+    # chunk-gated meshing (ref: mesh.rs:360 incremental invalidated-chunk
+    # remeshing): surface meshes live in a shared pool of chunk-submesh
+    # slots; per-step remesh cost is O(chunk_remesh_budget · 18³), tracking
+    # surface-chunk counts instead of O·G³ — required for 64³+ objects
+    chunked_remesh: bool = False
+    chunk_submesh_slots: int = 0  # 0 = auto (min(O·C, 1024))
+    chunk_tri_cap: int = 1024  # triangle slots per chunk submesh
+    chunk_vert_cap: int = 1024  # vertex budget per chunk compaction
+    chunk_remesh_budget: int = 16  # dirty chunks re-meshed per step
     # split-detection throughput: pending objects checked per step, and
     # disconnected regions extracted per object per check (ref:
     # extraction.rs:78 extracts regions as found — a multi-way shatter
