@@ -109,7 +109,7 @@ def main():
     n_act = int(np.asarray(scene.tri_active.sum()))
     print(f"[prof] active tris after compaction: {n_act} / {scene.tri_active.shape[0]}", flush=True)
 
-    gb = rt._geometry(scene, sim.render.frame_index)
+    gb, _geo_drops = rt._geometry(scene, sim.render.frame_index)
     jax.block_until_ready(gb)
     res["geometry"] = timeit(lambda: rt._geometry(scene, sim.render.frame_index))
     print(f"[prof] geometry {res['geometry']:.1f}ms", flush=True)
@@ -119,7 +119,7 @@ def main():
     res["shadows"] = timeit(lambda: rt._shadows(scene))
     print(f"[prof] shadows {res['shadows']:.1f}ms", flush=True)
 
-    omni, uni = sh
+    omni, uni, _shadow_drops = sh
     lum = rt._shade(gb, omni, uni, rt._textures)
     jax.block_until_ready(lum)
     res["shade"] = timeit(lambda: rt._shade(gb, omni, uni, rt._textures))

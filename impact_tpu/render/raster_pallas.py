@@ -43,6 +43,7 @@ evaluated by every tile.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -63,6 +64,8 @@ _INF = np.float32(3.0e38)
 _LANES = 128
 _ZKEY_BITS = 14  # quantized-z sub-key: overflow drops farthest-first
 _ZKEY_SCALE = float((1 << _ZKEY_BITS) - 2)
+# perf-triage toggle (devtools probes only): skip the winner-select phase
+_DEBUG_SELECT_OFF = os.environ.get("IMPACT_RASTER_SELECT_OFF", "0") == "1"
 # coarse bin class: triangles spanning >2×2 fine tiles but ≤2×2 coarse tiles
 # (COARSE_FACTOR× bigger) — e.g. merged flat voxel quads — keep tile-local
 # treatment instead of overflowing the global big block
@@ -546,39 +549,80 @@ def _make_kernel(tile, n_blocks, tw, rows, n_attr, p_pad, skip_empty=True):
         pxy = jnp.concatenate([px, py, jnp.ones_like(px)], axis=1)  # [s2,3]
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
 
-        def eval_block(geo, gidx, s, cnt, carry):
-            """geo: [R,128] candidate block; gidx [1,128] payload indices.
+        def plane(rows3):
+            return jax.lax.dot_general(
+                pxy, rows3,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [s2, 128]
 
-            The three barycentric/depth screen planes are evaluated as ONE
-            [s2,3] x [3,512] MXU matmul (b0 | b1 | b2 | z on the lane axis)
-            instead of 9 broadcast VPU multiplies — the kernel is eval-bound
-            and the VPU was the bottleneck. The carry is LANE-PARALLEL
-            (per-lane running min); the cross-lane reduce happens once per
-            tile after all blocks."""
-            def plane(rows3):
-                return jax.lax.dot_general(
-                    pxy, rows3,
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # [s2, 128]
-
+        def eval_cov(geo, have):
+            """(coverage mask, depth) of a [R,128] candidate block. The
+            barycentric/depth screen planes are evaluated as MXU matmuls
+            (b0 | b1 | z on the lane axis) instead of broadcast VPU
+            multiplies — the kernel is eval-bound."""
             b0 = plane(geo[0:3, :])
             b1 = plane(geo[3:6, :])
             z = plane(geo[6:9, :])
             b2 = 1.0 - b0 - b1
-            have = (gidx >= s) & (gidx < s + cnt)
             m = jnp.minimum(b0, jnp.minimum(b1, b2))
             cov = (m >= 0) & (z >= 0) & (z <= 1) & have
-            zm = jnp.where(cov, z, _INF)
-            best_z, best_i = carry
-            if n_attr:
-                best_i = jnp.where(
-                    zm < best_z, jnp.broadcast_to(gidx, zm.shape), best_i
-                )
-            return jnp.minimum(best_z, zm), best_i
+            return cov, z
 
-        best_z = jnp.full((s2, _LANES), _INF, jnp.float32)
-        best_i = jnp.full((s2, _LANES), 0x7FFFFFFF, jnp.int32)
+        if not n_attr:
+            # depth path: plain f32 per-lane running min
+            best_z = jnp.full((s2, _LANES), _INF, jnp.float32)
+            for r in range(_N_WINDOWS):
+                s = ranges_ref[i * 8 + r]
+                cnt = ranges_ref[i * 8 + 4 + r]
+                a = aligned[r]
+                pltpu.make_async_copy(
+                    payload.at[pl.ds(a // _LANES, n_blocks)],
+                    data_s.at[slot, r], sems.at[slot, r],
+                ).wait()
+                for j in range(n_blocks):
+                    gidx = a + j * _LANES + lane
+
+                    def do(carry, r=r, j=j, gidx=gidx, s=s, cnt=cnt):
+                        cov, z = eval_cov(
+                            data_s[slot, r, j],
+                            (gidx >= s) & (gidx < s + cnt),
+                        )
+                        return jnp.minimum(carry, jnp.where(cov, z, _INF))
+
+                    best_z = maybe(a + j * _LANES < s + cnt, do, best_z)
+            cov, z = eval_cov(big_rows[:, :], big_mask[0:1, :] > 0.5)
+            best_z = jnp.minimum(best_z, jnp.where(cov, z, _INF))
+            bz = jnp.min(best_z, axis=1, keepdims=True)  # [s2,1]
+            out_ref[0, 0, :] = jnp.where(bz[:, 0] >= _INF, 1.0, bz[:, 0])
+            return
+
+        # attribute path: the carry is ONE i32 per (pixel, lane) packing
+        # (quantized z | window-local candidate position). Carrying a
+        # separate winner-index plane measured +24 ms/frame at 1080p (an
+        # extra [s2,128] where per block plus a second cross-lane reduce);
+        # the packed key costs the same as the depth carry. The z test
+        # loses its low 11 mantissa bits (rel. 2.4e-4 — candidates closer
+        # in depth than that tie-break by bin order); the OUTPUT depth is
+        # re-derived exactly from the winner's plane in the tail.
+        # Signed i32 (not u32): Mosaic has no unsigned reductions, and the
+        # bitcast of a NON-NEGATIVE f32 (cov requires z >= 0) has sign bit
+        # 0, so u32 and i32 order identically here.
+        pos_bits = 11
+        n_parts = _N_WINDOWS * n_blocks + 1
+        # window-local positions must fit the key's low bits
+        assert n_parts * _LANES <= (1 << pos_bits)
+        key_inf = jnp.int32(0x7FFFFFFF)
+        zmask = jnp.int32((0x7FFFFFFF >> pos_bits) << pos_bits)
+
+        def eval_key(geo, have, part, key):
+            cov, z = eval_cov(geo, have)
+            zb = jax.lax.bitcast_convert_type(z, jnp.int32)
+            k = (zb & zmask) | (jnp.int32(part * _LANES) + lane)
+            return jnp.minimum(key, jnp.where(cov, k, key_inf))
+
+        key = jnp.full((s2, _LANES), key_inf, jnp.int32)
+        part = 0
         for r in range(_N_WINDOWS):
             s = ranges_ref[i * 8 + r]
             cnt = ranges_ref[i * 8 + 4 + r]
@@ -590,95 +634,83 @@ def _make_kernel(tile, n_blocks, tw, rows, n_attr, p_pad, skip_empty=True):
             for j in range(n_blocks):
                 gidx = a + j * _LANES + lane
 
-                def do(carry, r=r, j=j, gidx=gidx, s=s, cnt=cnt):
-                    geo = data_s[slot, r, j]
-                    return eval_block(geo, gidx, s, cnt, carry)
-
-                best_z, best_i = maybe(
-                    a + j * _LANES < s + cnt, do, (best_z, best_i)
-                )
-
-        # big block: payload indices beyond p_pad mark big lanes
-        bgidx = p_pad + lane
-        best_z, best_i = eval_block(
-            big_rows[:, :],
-            jnp.where(big_mask[0:1, :] > 0.5, bgidx, jnp.int32(-0x7FFFFFFF)),
-            p_pad, jnp.int32(2 * _LANES), (best_z, best_i),
-        )
-
-        # ONE cross-lane reduce per tile
-        bz = jnp.min(best_z, axis=1, keepdims=True)  # [s2,1]
-        if not n_attr:
-            out_ref[0, 0, :] = jnp.where(bz[:, 0] >= _INF, 1.0, bz[:, 0])
-            return
-        bi = jnp.min(
-            jnp.where(best_z <= bz, best_i, jnp.int32(0x7FFFFFFF)),
-            axis=1, keepdims=True,
-        )
-        best_z = bz
-        best_i = jnp.where(bz < _INF, bi, -1)
-
-        # ---- winner payload via one-hot MXU selects over the same blocks ----
-        # Each select block costs ~1 µs (the [s2,128] one-hot build is
-        # VPU-bound), but candidates are z-sorted NEAREST-FIRST within each
-        # bin, so winners concentrate in each range's first block — skip
-        # blocks that own no winner (a winner index belongs to exactly one
-        # (range, block): bins partition the sorted payload).
-        valid = best_i >= 0
-        sel = jnp.zeros((s2, rows), jnp.float32)
-        for r in range(_N_WINDOWS):
-            s = ranges_ref[i * 8 + r]
-            cnt = ranges_ref[i * 8 + 4 + r]
-            a = aligned[r]
-            for j in range(n_blocks):
-                gidx = a + j * _LANES + lane
-
-                def sel_do(acc, r=r, j=j, gidx=gidx, s=s, cnt=cnt):
-                    # mask alignment-slack lanes: a winner row must only be
-                    # counted by the range that actually owns it
-                    have = (gidx >= s) & (gidx < s + cnt)
-                    oh = ((best_i == gidx) & have).astype(jnp.float32)
-                    blk = data_s[slot, r, j]  # [R,128]
-                    return acc + jax.lax.dot_general(
-                        oh, blk,
-                        dimension_numbers=(((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32,
+                def do(carry, r=r, j=j, gidx=gidx, s=s, cnt=cnt, part=part):
+                    return eval_key(
+                        data_s[slot, r, j],
+                        (gidx >= s) & (gidx < s + cnt),
+                        part, carry,
                     )
 
-                sel = maybe(a + j * _LANES < s + cnt, sel_do, sel)
-        ohb = (best_i == bgidx).astype(jnp.float32)
-        sel = sel + jax.lax.dot_general(
-            ohb, big_rows[:, :],
+                key = maybe(a + j * _LANES < s + cnt, do, key)
+                part += 1
+        key = eval_key(big_rows[:, :], big_mask[0:1, :] > 0.5, part, key)
+
+        # ONE cross-lane reduce per tile
+        bk = jnp.min(key, axis=1, keepdims=True)  # [s2,1] i32
+        valid = bk != key_inf
+        pos = bk & jnp.int32((1 << pos_bits) - 1)
+
+        def _tail(sel):
+            # per-pixel interpolation from the winner's planes
+            b0 = sel[:, 0:1] * px + sel[:, 1:2] * py + sel[:, 2:3]
+            b1 = sel[:, 3:4] * px + sel[:, 4:5] * py + sel[:, 5:6]
+            b2 = 1.0 - b0 - b1
+            pb0 = b0 * sel[:, 9:10]
+            pb1 = b1 * sel[:, 10:11]
+            pb2 = b2 * sel[:, 11:12]
+            norm = 1.0 / jnp.maximum(pb0 + pb1 + pb2, 1e-12)
+            pb0 = pb0 * norm
+            pb1 = pb1 * norm
+            pb2 = pb2 * norm
+            a0 = sel[:, GEOM_ROWS : GEOM_ROWS + n_attr]
+            a1 = sel[:, GEOM_ROWS + n_attr : GEOM_ROWS + 2 * n_attr]
+            a2 = sel[:, GEOM_ROWS + 2 * n_attr : GEOM_ROWS + 3 * n_attr]
+            interp = pb0 * a0 + pb1 * a1 + pb2 * a2
+            m01 = pb0 >= pb1
+            m = jnp.where(m01, pb0, pb1)
+            near = jnp.where(m >= pb2, jnp.where(m01, a0, a1), a2)
+            vf = valid.astype(jnp.float32)
+            # exact depth from the winner's plane (the carried key only
+            # kept 12 mantissa bits for the z TEST)
+            z_exact = sel[:, 6:7] * px + sel[:, 7:8] * py + sel[:, 8:9]
+            z_out = jnp.where(valid, z_exact, 1.0)
+            out = jnp.concatenate(
+                [interp * vf, near * vf, z_out, vf,
+                 jnp.zeros((s2, 6), jnp.float32)],
+                axis=-1,
+            )
+            out_ref[0] = out
+
+        if _DEBUG_SELECT_OFF:
+            # perf-triage mode: winner payload zeroed (isolates the select
+            # phase's cost from the best_i carry + interpolation tail)
+            return _tail(jnp.zeros((s2, rows), jnp.float32))
+        # ---- winner payload: TWO-LEVEL one-hot select. The packed key's
+        # low bits ARE the winner's (part, lane): one [s2,128] lane one-hot
+        # selects the winner's row from EVERY part with one well-shaped
+        # K=128 matmul (→ t1 [s2, n_parts·128]); the winner's part is a
+        # per-part [s2,1] scalar compare masking 128-aligned slices. ----
+        parts = []
+        for r in range(_N_WINDOWS):
+            for j in range(n_blocks):
+                parts.append(
+                    jnp.pad(data_s[slot, r, j], ((0, _LANES - rows), (0, 0)))
+                )
+        parts.append(jnp.pad(big_rows[:, :], ((0, _LANES - rows), (0, 0))))
+        cat2 = jnp.concatenate(parts, axis=0)  # [n_parts·128, 128]
+        lane_oh = (jax.lax.rem(pos, _LANES) == lane).astype(jnp.float32)
+        t1 = jax.lax.dot_general(
+            lane_oh, cat2,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )
-
-        # per-pixel interpolation from the winner's planes
-        b0 = sel[:, 0:1] * px + sel[:, 1:2] * py + sel[:, 2:3]
-        b1 = sel[:, 3:4] * px + sel[:, 4:5] * py + sel[:, 5:6]
-        b2 = 1.0 - b0 - b1
-        pb0 = b0 * sel[:, 9:10]
-        pb1 = b1 * sel[:, 10:11]
-        pb2 = b2 * sel[:, 11:12]
-        norm = 1.0 / jnp.maximum(pb0 + pb1 + pb2, 1e-12)
-        pb0 = pb0 * norm
-        pb1 = pb1 * norm
-        pb2 = pb2 * norm
-        a0 = sel[:, GEOM_ROWS : GEOM_ROWS + n_attr]
-        a1 = sel[:, GEOM_ROWS + n_attr : GEOM_ROWS + 2 * n_attr]
-        a2 = sel[:, GEOM_ROWS + 2 * n_attr : GEOM_ROWS + 3 * n_attr]
-        interp = pb0 * a0 + pb1 * a1 + pb2 * a2
-        m01 = pb0 >= pb1
-        m = jnp.where(m01, pb0, pb1)
-        near = jnp.where(m >= pb2, jnp.where(m01, a0, a1), a2)
-        vf = valid.astype(jnp.float32)
-        z_out = jnp.where(valid, best_z, 1.0)
-        out = jnp.concatenate(
-            [interp * vf, near * vf, z_out, vf,
-             jnp.zeros((s2, 6), jnp.float32)],
-            axis=-1,
-        )
-        out_ref[0] = out
+        )  # [s2, n_parts·128] — part b's winner-row at lanes [b·128, ...)
+        blk = jax.lax.div(pos, _LANES)  # [s2,1] winner part
+        sel128 = jnp.zeros((s2, _LANES), jnp.float32)
+        for b in range(n_parts):
+            inb = (blk == b).astype(jnp.float32)
+            sel128 = sel128 + inb * t1[:, b * _LANES : (b + 1) * _LANES]
+        sel = sel128[:, :rows]
+        return _tail(sel)
 
     return kernel, oc
 

@@ -307,6 +307,43 @@ class TestPodScaleStep:
                 f"{per_shard_state}: a global-O buffer is materializing"
             )
 
+        # pin the collective pattern (VERDICT-r3 weak 7): whatever GSPMD
+        # inserts, no single gathering collective may materialize a GLOBAL
+        # buffer on one device — a changed XLA version that re-gathers a
+        # full [O,...] array would pass the shape checks above and blow
+        # memory only at real scale. The budgeted remesh's cross-shard
+        # top-k gather/scatter legitimately gathers up to one OBJECT-AXIS
+        # shard of a mesh field ([O/4, Tc, 9] here); the pin is therefore
+        # "strictly sub-global": nothing larger than ~1.5 object-axis
+        # shards of the largest state leaf.
+        import re
+
+        per_shard_axis_bytes = max(
+            int(np.prod(a.shape[1:]))
+            * (o_max // 4)
+            * a.dtype.itemsize
+            for a in jax.tree.leaves(sim_s)
+            if a.ndim >= 1 and a.shape[0] == o_max
+        )
+        itemsize = {
+            "pred": 1, "s8": 1, "u8": 1, "bf16": 2, "f16": 2, "s16": 2,
+            "u16": 2, "f32": 4, "s32": 4, "u32": 4, "f64": 8, "s64": 8,
+            "u64": 8,
+        }
+        worst = 0
+        for line in compiled.as_text().splitlines():
+            if "all-gather(" not in line and "all-to-all(" not in line:
+                continue
+            m = re.search(r"=\s*\(?(\w+)\[([\d,]*)\]", line)
+            if not m or m.group(1) not in itemsize:
+                continue
+            dims = [int(d) for d in m.group(2).split(",") if d]
+            worst = max(worst, int(np.prod(dims or [1])) * itemsize[m.group(1)])
+        assert worst <= 1.5 * per_shard_axis_bytes, (
+            f"a {worst}-byte gathering collective exceeds the object-axis "
+            f"shard bound ({per_shard_axis_bytes}) — a global re-gather"
+        )
+
         out = compiled(sim_s, params_r)
         assert np.isfinite(np.asarray(out.phys.bodies.position)).all()
         assert int(np.asarray(jnp.sum(out.voxels.alive))) == 6
