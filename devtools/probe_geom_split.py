@@ -113,6 +113,16 @@ def main():
                     tp, ta, pk, vp, H, W, tile=tile, k_per_range=k),
                 tri_pos, tri_active, packed,
             )
+            if _os.environ.get("GS_AB_SELECT", "0") == "1":
+                _os.environ["IMPACT_RASTER_SELECT_MONO"] = "1"
+                timeit(
+                    f"  ... same, MONOLITHIC select tile={tile} k={k}",
+                    lambda tp, ta, pk, tile=tile, k=k:
+                    rp.rasterize_attributes_pos(
+                        tp, ta, pk, vp, H, W, tile=tile, k_per_range=k),
+                    tri_pos, tri_active, packed,
+                )
+                del _os.environ["IMPACT_RASTER_SELECT_MONO"]
     if _os.environ.get("GS_FULL", "0") != "1":
         return
 

@@ -608,10 +608,10 @@ def _make_kernel(tile, n_blocks, tw, rows, n_attr, p_pad, skip_empty=True):
         # Signed i32 (not u32): Mosaic has no unsigned reductions, and the
         # bitcast of a NON-NEGATIVE f32 (cov requires z >= 0) has sign bit
         # 0, so u32 and i32 order identically here.
-        pos_bits = 11
         n_parts = _N_WINDOWS * n_blocks + 1
-        # window-local positions must fit the key's low bits
-        assert n_parts * _LANES <= (1 << pos_bits)
+        # window-local positions must fit the key's low bits; larger
+        # k_per_range configs pay one more dropped z-test bit per doubling
+        pos_bits = max(11, (n_parts * _LANES - 1).bit_length())
         key_inf = jnp.int32(0x7FFFFFFF)
         zmask = jnp.int32((0x7FFFFFFF >> pos_bits) << pos_bits)
 
@@ -685,31 +685,61 @@ def _make_kernel(tile, n_blocks, tw, rows, n_attr, p_pad, skip_empty=True):
             # perf-triage mode: winner payload zeroed (isolates the select
             # phase's cost from the best_i carry + interpolation tail)
             return _tail(jnp.zeros((s2, rows), jnp.float32))
-        # ---- winner payload: TWO-LEVEL one-hot select. The packed key's
-        # low bits ARE the winner's (part, lane): one [s2,128] lane one-hot
-        # selects the winner's row from EVERY part with one well-shaped
-        # K=128 matmul (→ t1 [s2, n_parts·128]); the winner's part is a
-        # per-part [s2,1] scalar compare masking 128-aligned slices. ----
-        parts = []
+        # ---- winner payload: per-part one-hot MXU selects over the SAME
+        # occupied blocks the eval visited, guarded by the SAME block
+        # conditions (a part whose block held no candidates cannot own a
+        # winner, and most tiles touch few blocks — candidates are z-sorted
+        # nearest-first). The one-hot compares the FULL packed position
+        # (part·128 + lane): one [s2,128] compare + one [s2,128]x[rows,128]
+        # matmul per OCCUPIED part. A monolithic two-level select (one
+        # [s2, n_parts·128] matmul over every part) measured ~2x slower at
+        # 1080p: it pays for all n_parts regardless of occupancy. ----
+        if os.environ.get("IMPACT_RASTER_SELECT_MONO", "0") == "1":
+            # A/B-probe variant (devtools only): monolithic two-level select
+            parts = []
+            for r in range(_N_WINDOWS):
+                for j in range(n_blocks):
+                    parts.append(
+                        jnp.pad(data_s[slot, r, j], ((0, _LANES - rows), (0, 0)))
+                    )
+            parts.append(jnp.pad(big_rows[:, :], ((0, _LANES - rows), (0, 0))))
+            cat2 = jnp.concatenate(parts, axis=0)  # [n_parts·128, 128]
+            lane_oh = (jax.lax.rem(pos, _LANES) == lane).astype(jnp.float32)
+            t1 = jax.lax.dot_general(
+                lane_oh, cat2,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [s2, n_parts·128]
+            blk = jax.lax.div(pos, _LANES)  # [s2,1] winner part
+            sel128 = jnp.zeros((s2, _LANES), jnp.float32)
+            for b in range(n_parts):
+                inb = (blk == b).astype(jnp.float32)
+                sel128 = sel128 + inb * t1[:, b * _LANES : (b + 1) * _LANES]
+            return _tail(sel128[:, :rows])
+        sel = jnp.zeros((s2, rows), jnp.float32)
+        part = 0
         for r in range(_N_WINDOWS):
+            s = ranges_ref[i * 8 + r]
+            cnt = ranges_ref[i * 8 + 4 + r]
+            a = aligned[r]
             for j in range(n_blocks):
-                parts.append(
-                    jnp.pad(data_s[slot, r, j], ((0, _LANES - rows), (0, 0)))
-                )
-        parts.append(jnp.pad(big_rows[:, :], ((0, _LANES - rows), (0, 0))))
-        cat2 = jnp.concatenate(parts, axis=0)  # [n_parts·128, 128]
-        lane_oh = (jax.lax.rem(pos, _LANES) == lane).astype(jnp.float32)
-        t1 = jax.lax.dot_general(
-            lane_oh, cat2,
+
+                def sel_do(acc, r=r, j=j, part=part):
+                    oh = (pos == jnp.int32(part * _LANES) + lane)
+                    return acc + jax.lax.dot_general(
+                        oh.astype(jnp.float32), data_s[slot, r, j],
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+
+                sel = maybe(a + j * _LANES < s + cnt, sel_do, sel)
+                part += 1
+        ohb = (pos == jnp.int32(part * _LANES) + lane).astype(jnp.float32)
+        sel = sel + jax.lax.dot_general(
+            ohb, big_rows[:, :],
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # [s2, n_parts·128] — part b's winner-row at lanes [b·128, ...)
-        blk = jax.lax.div(pos, _LANES)  # [s2,1] winner part
-        sel128 = jnp.zeros((s2, _LANES), jnp.float32)
-        for b in range(n_parts):
-            inb = (blk == b).astype(jnp.float32)
-            sel128 = sel128 + inb * t1[:, b * _LANES : (b + 1) * _LANES]
-        sel = sel128[:, :rows]
+        )
         return _tail(sel)
 
     return kernel, oc
