@@ -346,6 +346,25 @@ class HeadlessRuntime:
             dropped_tris,
         )
 
+    def deferred_absorptions(self) -> int:
+        """Absorber-overlapping voxel objects beyond the absorption gate cap
+        at the current state — work the next engine step defers by one step.
+        The absorption analog of the mesh/raster drop counters: deferral is
+        lag, not loss, but it must be auditable (no silent caps)."""
+        import numpy as np
+
+        from ..voxel.interaction import deferred_absorption_count
+
+        cap = min(
+            self.config.tpu.absorption_gate_cap,
+            self.config.tpu.max_voxel_objects,
+        )
+        return int(np.asarray(deferred_absorption_count(
+            self.sim.voxels, self.params.absorbers,
+            self.sim.phys.bodies.position,
+            self.sim.phys.bodies.orientation, cap,
+        )))
+
     def dropped_raster_candidates(self) -> int:
         """Cumulative raster candidates lost to per-tile k_per_range or
         big-block overflow across every rendered view so far (the raster-side

@@ -93,6 +93,24 @@ def apply_absorption(
     )
 
 
+def deferred_absorption_count(
+    pool, absorbers, body_position, body_orientation, gate_cap: int
+):
+    """i32: absorber-overlapping objects beyond ``gate_cap`` — the work the
+    gated absorption pass defers to the next step. Deferral is one step of
+    lag, not loss (absorbers move continuously), but it must be auditable
+    like every other cap in the pipeline ("no silent caps"); callers log or
+    assert on this the way they do for mesh/raster drop counters."""
+    hit = _absorber_overlap_mask(
+        pool, absorbers, body_position, body_orientation
+    )
+    if gate_cap >= pool.n_objects:
+        return jnp.int32(0)  # dense path: nothing is ever deferred
+    return jnp.maximum(
+        jnp.sum(hit, dtype=jnp.int32) - jnp.int32(gate_cap), 0
+    )
+
+
 def _absorber_overlap_mask(pool, absorbers, body_position, body_orientation):
     """bool[O]: object bounding sphere intersects any active absorber."""
     from .collision import bounding_radii

@@ -256,6 +256,40 @@ class TestDeformation:
         np.testing.assert_array_equal(np.asarray(pool.sdf[2:]),
                                       np.asarray(gated.sdf[2:]))
 
+    def test_deferred_absorption_count(self):
+        """Gate-cap overflow is counted, not silent: with more overlapping
+        objects than the cap, the deferred count is hits − cap; with a cap
+        covering the pool it is 0 (VERDICT-r3 weak item 6)."""
+        from impact_tpu.voxel.interaction import deferred_absorption_count
+
+        n_obj = 6
+        pool = empty_voxel_object_pool(n_obj, G)
+        s, origin = generate_sdf_grid(sdflib.sphere(6.0), G, 1.0)
+        for i in range(n_obj):
+            pool = pool._replace(
+                sdf=pool.sdf.at[i].set(s),
+                origin=pool.origin.at[i].set(origin),
+                voxel_extent=pool.voxel_extent.at[i].set(1.0),
+                alive=pool.alive.at[i].set(True),
+                body_index=pool.body_index.at[i].set(i),
+            )
+        absorbers = empty_absorber_pools()
+        absorbers = absorbers._replace(
+            sph_body=absorbers.sph_body.at[0].set(n_obj),
+            sph_radius=absorbers.sph_radius.at[0].set(3.0),
+            sph_mask=absorbers.sph_mask.at[0].set(True),
+        )
+        # 5 objects stacked on the absorber, one far away
+        pos = jnp.zeros((n_obj + 1, 3))
+        pos = pos.at[5].set(jnp.array([500.0, 0.0, 0.0]))
+        ori = jnp.tile(jnp.array([0.0, 0.0, 0.0, 1.0]), (n_obj + 1, 1))
+        assert int(deferred_absorption_count(
+            pool, absorbers, pos, ori, gate_cap=3)) == 2
+        assert int(deferred_absorption_count(
+            pool, absorbers, pos, ori, gate_cap=5)) == 0
+        assert int(deferred_absorption_count(
+            pool, absorbers, pos, ori, gate_cap=n_obj)) == 0
+
     def test_ccl_single_component(self):
         pool = make_sphere_pool(radius=6.0)
         occ = occupancy(pool)[0]
