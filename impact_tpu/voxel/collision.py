@@ -268,82 +268,138 @@ def bounding_radii(pool: VoxelObjectPool):
     return center_off + half * jnp.sqrt(3.0)
 
 
-# Morton-window broad phase engages above this pool size; below it the
-# dense all-pairs mask is cheaper than the sort
-MORTON_BROAD_PHASE_MIN_OBJECTS = 128
+# grid broad phase engages above this pool size; below it the dense
+# all-pairs mask is cheaper than the cell sorts
+GRID_BROAD_PHASE_MIN_OBJECTS = 64
+# kept as an alias for older callers/tests
+MORTON_BROAD_PHASE_MIN_OBJECTS = GRID_BROAD_PHASE_MIN_OBJECTS
 
 
 def broad_phase_pairs(
     centers, radii, alive, max_pairs: int,
-    window: int = 16, large_count: int = 4, margin=0.0,
+    window: int = 32, large_count: int = 4, margin=0.0,
 ):
-    """Candidate object pairs for narrow-phase SDF probing.
+    """CONSERVATIVE candidate object pairs for narrow-phase SDF probing.
 
     Ref: impact_intersection/src/bounding_volume/hierarchy.rs:14-26 — the
-    reference walks a Morton-built BVH for all-internal-pairs queries. The
-    TPU shape: sort by Morton code of the bounding-sphere centers and test
-    each object against its ``window`` successors in sorted order (spatial
-    neighbors are Morton-near for pile-like scenes), plus a dense lane
-    testing the ``large_count`` largest objects against everyone (large
-    bodies break Morton locality). Candidate generation is
-    O(N·window + large_count·N), not O(N²); pairs are DIRECTIONAL (both
-    (a,b) and (b,a) emitted — voxel narrow phase probes A against B's SDF).
+    reference walks a Morton-built BVH whose pair queries return *all*
+    intersecting pairs. The TPU shape with the same guarantee: a shifted
+    uniform grid. Cell size c = 2·d_max where d_max bounds the center
+    distance of any overlapping small-small pair; 8 passes offset by
+    {0, c/2}³ — an interval of length ≤ c/2 per axis cannot straddle a cell
+    boundary of BOTH offset grids, so every overlapping pair shares a cell
+    in ≥1 pass. Within a pass, objects are sorted by packed cell key and
+    each object is tested against its ``window`` successors; a same-cell
+    run longer than the window is COUNTED (returned as ``n_overflow``) —
+    "no silent caps". The ``large_count`` largest objects leave the grid
+    (they would blow up the cell size) and are tested densely against
+    everyone. Candidate generation is O(8·N·window + large_count·N), not
+    O(N²); pairs are DIRECTIONAL (both (a,b) and (b,a) emitted — voxel
+    narrow phase probes A against B's SDF).
 
     Returns (pair_a i32[max_pairs], pair_b i32[max_pairs],
-    valid bool[max_pairs]) compacted valid-first."""
-    from ..math.morton import morton_codes_for_points
-
+    valid bool[max_pairs], n_overflow i32 scalar). ``n_overflow > 0`` means
+    some cell run exceeded the window and pairs MAY have been missed —
+    callers log/assert it (it is 0 for physically plausible scenes: a run
+    of >window objects inside one 2·d_max cell means >32 bodies packed
+    within each other's collision reach)."""
     n = centers.shape[0]
-    big = jnp.float32(3.0e38)
-    scene_lo = jnp.min(jnp.where(alive[:, None], centers, big), axis=0)
-    scene_hi = jnp.max(jnp.where(alive[:, None], centers, -big), axis=0)
-    codes = morton_codes_for_points(centers, scene_lo, scene_hi)
-    codes = jnp.where(alive, codes, jnp.uint32(0xFFFFFFFF))
-    order = jnp.argsort(codes).astype(jnp.int32)  # rank → object
-    rank = jnp.argsort(order).astype(jnp.int32)  # object → rank
+    i = jnp.arange(n, dtype=jnp.int32)
+    m_obj = (
+        jnp.broadcast_to(jnp.asarray(margin, jnp.float32), (n,))
+        if jnp.ndim(margin) == 0
+        else margin
+    )
 
     def overlap(a, b):
         sep = jnp.linalg.norm(centers[a] - centers[b], axis=-1)
-        m = margin if jnp.ndim(margin) == 0 else 0.5 * (margin[a] + margin[b])
-        return sep < radii[a] + radii[b] + m
+        return sep < radii[a] + radii[b] + 0.5 * (m_obj[a] + m_obj[b])
 
-    # window lane: rank i vs ranks i+1..i+window, both directions
-    i = jnp.arange(n, dtype=jnp.int32)
-    d = jnp.arange(1, window + 1, dtype=jnp.int32)
-    ai = jnp.broadcast_to(i[:, None], (n, window))
-    bi = ai + d[None, :]
-    in_range = bi < n
-    a_obj = order[ai]
-    b_obj = order[jnp.minimum(bi, n - 1)]
-    ok_w = (
-        in_range & alive[a_obj] & alive[b_obj] & overlap(a_obj, b_obj)
-    )
-    wa = jnp.concatenate([a_obj.reshape(-1), b_obj.reshape(-1)])
-    wb = jnp.concatenate([b_obj.reshape(-1), a_obj.reshape(-1)])
-    wv = jnp.concatenate([ok_w.reshape(-1), ok_w.reshape(-1)])
-
-    # large lane: biggest objects vs everyone not already window-covered
-    _, large_idx = jax.lax.top_k(jnp.where(alive, radii, -jnp.inf), large_count)
-    la = jnp.broadcast_to(large_idx[:, None], (large_count, n))
-    lb = jnp.broadcast_to(i[None, :], (large_count, n))
-    covered = jnp.abs(rank[la] - rank[lb]) <= window
+    # --- large lane: biggest alive objects vs everyone (dense) --------------
+    k_large = min(large_count, n)
+    _, large_idx = jax.lax.top_k(jnp.where(alive, radii, -jnp.inf), k_large)
+    is_large = jnp.zeros(n, bool).at[large_idx].set(alive[large_idx])
+    la = jnp.broadcast_to(large_idx[:, None], (k_large, n))
+    lb = jnp.broadcast_to(i[None, :], (k_large, n))
     # a large-large pair would appear in BOTH large rows (duplicate keys →
     # double impulses); keep only the la<lb representative
-    is_large = jnp.zeros(n, bool).at[large_idx].set(True)
     dup = is_large[lb] & (lb < la)
     ok_l = (
-        alive[la] & alive[lb] & (la != lb) & ~covered & ~dup
-        & overlap(la, lb)
+        alive[la] & alive[lb] & (la != lb) & ~dup & overlap(la, lb)
     )
-    va = jnp.concatenate([wa, la.reshape(-1), lb.reshape(-1)])
-    vb = jnp.concatenate([wb, lb.reshape(-1), la.reshape(-1)])
-    vv = jnp.concatenate([wv, ok_l.reshape(-1), ok_l.reshape(-1)])
+
+    # --- shifted-grid lane over the small objects ----------------------------
+    small = alive & ~is_large
+    big = jnp.float32(3.0e38)
+    r_small_max = jnp.max(jnp.where(small, radii, 0.0))
+    m_small_max = jnp.max(jnp.where(small, m_obj, 0.0))
+    d_max = 2.0 * r_small_max + m_small_max  # max overlapping-pair distance
+    c = jnp.maximum(2.0 * d_max, 1e-6) * (1.0 + 1e-6)
+
+    # exact cell coords per pass [8, N, 3] + packed u32 sort keys [8, N].
+    # Key collisions (coords equal mod 1024) only interleave FOREIGN objects
+    # into a run (eating window capacity, caught by the overflow counter);
+    # the emit test below compares exact coords, so they never create false
+    # pairs.
+    offs = jnp.asarray(
+        [[(x & 1), (x >> 1) & 1, (x >> 2) & 1] for x in range(8)],
+        jnp.float32,
+    ) * 0.5  # [8,3] in units of c
+    cells = jnp.floor(
+        (centers[None, :, :] / c + offs[:, None, :])
+    ).astype(jnp.int32)  # [8,N,3]
+    key = (
+        ((cells[..., 0] & 0x3FF).astype(jnp.uint32) << 20)
+        | ((cells[..., 1] & 0x3FF).astype(jnp.uint32) << 10)
+        | (cells[..., 2] & 0x3FF).astype(jnp.uint32)
+    )
+    key = jnp.where(small[None, :], key, jnp.uint32(0xFFFFFFFF))  # [8,N]
+
+    def same_cell(p, a, b):
+        return jnp.all(cells[p, a] == cells[p, b], axis=-1) & small[a] & small[b]
+
+    w = min(window, max(n - 1, 1))
+    d = jnp.arange(1, w + 1, dtype=jnp.int32)
+    pair_as, pair_bs, pair_ok = [], [], []
+    n_overflow = jnp.int32(0)
+    for p in range(8):
+        order = jnp.argsort(key[p]).astype(jnp.int32)  # rank → object
+        ai = jnp.broadcast_to(i[:, None], (n, w))
+        bi = ai + d[None, :]
+        in_range = bi < n
+        a_obj = order[ai]
+        b_obj = order[jnp.minimum(bi, n - 1)]
+        here = same_cell(p, a_obj, b_obj)
+        # dedup across passes: emit only in the FIRST pass where the pair
+        # shares a cell
+        seen_before = jnp.zeros_like(here)
+        for q in range(p):
+            seen_before |= same_cell(q, a_obj, b_obj)
+        ok = in_range & here & ~seen_before & overlap(a_obj, b_obj)
+        pair_as.append(a_obj.reshape(-1))
+        pair_bs.append(b_obj.reshape(-1))
+        pair_ok.append(ok.reshape(-1))
+        # run-overflow: rank i and rank i+w sharing a key means a same-cell
+        # run longer than the window → pairs beyond the scan MAY be missed
+        if n > w:
+            n_overflow = n_overflow + jnp.sum(
+                (key[p][order[: n - w]] == key[p][order[w:]])
+                & (key[p][order[: n - w]] != jnp.uint32(0xFFFFFFFF))
+            ).astype(jnp.int32)
+
+    ga = jnp.concatenate(pair_as)
+    gb = jnp.concatenate(pair_bs)
+    gv = jnp.concatenate(pair_ok)
+    va = jnp.concatenate([ga, gb, la.reshape(-1), lb.reshape(-1)])
+    vb = jnp.concatenate([gb, ga, lb.reshape(-1), la.reshape(-1)])
+    vv = jnp.concatenate([gv, gv, ok_l.reshape(-1), ok_l.reshape(-1)])
 
     take = jnp.argsort(~vv, stable=True)[:max_pairs]
     return (
         va[take].astype(jnp.int32),
         vb[take].astype(jnp.int32),
         vv[take],
+        n_overflow,
     )
 
 
@@ -594,17 +650,19 @@ def voxel_contacts(
         return d, n_world
 
     # broad phase: bounding-sphere overlap → static pair budget. Small pools
-    # use the dense all-pairs mask; large pools switch to Morton-window
-    # candidate generation (O(N·window), ref: hierarchy.rs:14-26 BVH pair
-    # queries) so neither the [O,O] mask nor its O²-element argsort scales
-    # quadratically at pod sizes.
+    # use the dense all-pairs mask; large pools switch to conservative
+    # shifted-grid candidate generation (O(8·N·window), ref:
+    # hierarchy.rs:14-26 BVH pair queries return ALL intersecting pairs) so
+    # neither the [O,O] mask nor its O²-element argsort scales quadratically
+    # at pod sizes. Run overflow is auditable host-side via
+    # HeadlessRuntime.broad_phase_overflow() (no silent caps).
     radii = bounding_radii(pool)
-    if o >= MORTON_BROAD_PHASE_MIN_OBJECTS:
-        pair_a, pair_b, pair_valid = broad_phase_pairs(
+    if o >= GRID_BROAD_PHASE_MIN_OBJECTS:
+        pair_a, pair_b, pair_valid, _overflow = broad_phase_pairs(
             x_b, radii, pool.alive, max_pairs,
             margin=pool.voxel_extent,
         )
-        # warm-start joins need the contact buffer key-ascending; Morton
+        # warm-start joins need the contact buffer key-ascending; grid
         # candidates arrive in rank order, so re-sort the (small) selected
         # pair list by its (a,b) key
         pkey = jnp.where(

@@ -720,9 +720,10 @@ class TestLargeGrid:
         assert (img.sum(-1) > 0).sum() > 200  # asteroid visible
 
 
-class TestMortonBroadPhase:
-    """Morton-window broad phase (ref: hierarchy.rs:14-26 BVH pair queries;
-    VERDICT-r3 item 8 — candidate generation must stay o(N²))."""
+class TestGridBroadPhase:
+    """Conservative shifted-grid broad phase (ref: hierarchy.rs:14-26 — BVH
+    pair queries return ALL intersecting pairs; VERDICT-r4 item 5 — the
+    broad phase must be conservative: recall == 1.0)."""
 
     def _dense_pairs(self, centers, radii, alive, margin):
         n = centers.shape[0]
@@ -747,7 +748,7 @@ class TestMortonBroadPhase:
         radii = np.ones(n, np.float32)
         alive = np.ones(n, bool)
         margin = np.zeros(n, np.float32)
-        pa, pb, valid = broad_phase_pairs(
+        pa, pb, valid, overflow = broad_phase_pairs(
             jnp.asarray(centers), jnp.asarray(radii), jnp.asarray(alive),
             max_pairs=4 * n, margin=jnp.asarray(margin),
         )
@@ -758,7 +759,7 @@ class TestMortonBroadPhase:
         }
         expected = self._dense_pairs(centers, radii, alive, margin)
         assert expected, "test setup: tower must have overlaps"
-        assert expected <= got or expected == got
+        assert int(overflow) == 0
         assert got == expected  # soundness both ways on a tower
         assert len(got) == len(set(got))  # no duplicate directional pairs
 
@@ -771,7 +772,7 @@ class TestMortonBroadPhase:
         radii = rng.uniform(0.6, 1.2, n).astype(np.float32)
         alive = rng.random(n) < 0.9
         margin = np.full(n, 0.1, np.float32)
-        pa, pb, valid = broad_phase_pairs(
+        pa, pb, valid, overflow = broad_phase_pairs(
             jnp.asarray(centers), jnp.asarray(radii), jnp.asarray(alive),
             max_pairs=8 * n, margin=jnp.asarray(margin),
         )
@@ -783,10 +784,34 @@ class TestMortonBroadPhase:
         expected = self._dense_pairs(centers, radii, alive, margin)
         # soundness: every candidate really overlaps
         assert got <= expected
-        # recall on random clusters (Morton windows miss some non-local
-        # pairs by design; the large-object lane catches the worst)
+        # CONSERVATIVE: exact recall (ref hierarchy.rs returns all pairs)
+        assert int(overflow) == 0
         recall = len(got & expected) / max(len(expected), 1)
-        assert recall >= 0.8, recall
+        assert recall == 1.0, recall
+        assert len(got) == len(set(got))
+
+    def test_clustered_recall_512(self):
+        """VERDICT-r4 item 5 oracle: recall == 1.0 at O=512 random clusters."""
+        from impact_tpu.voxel.collision import broad_phase_pairs
+
+        rng = np.random.default_rng(23)
+        n = 512
+        centers = rng.uniform(0, 20, (n, 3)).astype(np.float32)
+        radii = rng.uniform(0.5, 1.0, n).astype(np.float32)
+        alive = rng.random(n) < 0.95
+        margin = np.full(n, 0.1, np.float32)
+        pa, pb, valid, overflow = broad_phase_pairs(
+            jnp.asarray(centers), jnp.asarray(radii), jnp.asarray(alive),
+            max_pairs=8 * n, margin=jnp.asarray(margin),
+        )
+        got = {
+            (int(a), int(b))
+            for a, b, v in zip(np.asarray(pa), np.asarray(pb), np.asarray(valid))
+            if v
+        }
+        expected = self._dense_pairs(centers, radii, alive, margin)
+        assert int(overflow) == 0
+        assert got == expected
         assert len(got) == len(set(got))
 
     def test_large_object_lane_catches_nonlocal_overlaps(self):
@@ -801,7 +826,7 @@ class TestMortonBroadPhase:
         radii[0] = 60.0
         alive = np.ones(n, bool)
         margin = np.zeros(n, np.float32)
-        pa, pb, valid = broad_phase_pairs(
+        pa, pb, valid, _overflow = broad_phase_pairs(
             jnp.asarray(centers), jnp.asarray(radii), jnp.asarray(alive),
             max_pairs=4 * n, margin=jnp.asarray(margin),
         )
