@@ -350,11 +350,20 @@ class HeadlessRuntime:
         """Absorber-overlapping voxel objects beyond the absorption gate cap
         at the current state — work the next engine step defers by one step.
         The absorption analog of the mesh/raster drop counters: deferral is
-        lag, not loss, but it must be auditable (no silent caps)."""
+        lag, not loss, but it must be auditable (no silent caps).
+
+        The count is an ESTIMATE evaluated at the current body positions;
+        the engine's absorption gate runs after the next physics step moves
+        bodies, so the exact next-step deferral can differ by whatever that
+        step's motion changes. Returns 0 when the runtime was built with
+        ``enable_absorption=False`` — a disabled pass never processes the
+        overlaps, so "deferred by one step" would misstate it."""
         import numpy as np
 
         from ..voxel.interaction import deferred_absorption_count
 
+        if not self._features.get("enable_absorption", True):
+            return 0
         cap = min(
             self.config.tpu.absorption_gate_cap,
             self.config.tpu.max_voxel_objects,
@@ -364,6 +373,30 @@ class HeadlessRuntime:
             self.sim.phys.bodies.position,
             self.sim.phys.bodies.orientation, cap,
         )))
+
+    def broad_phase_overflow(self) -> int:
+        """Shifted-grid broad-phase cell-run overflow at the current state —
+        nonzero means some cell held more than ``window`` objects and
+        candidate pairs MAY have been missed (raise the window or max_pairs).
+        Always 0 for pools below GRID_BROAD_PHASE_MIN_OBJECTS (dense
+        all-pairs broad phase — exact by construction)."""
+        import numpy as np
+
+        from ..voxel.collision import (
+            GRID_BROAD_PHASE_MIN_OBJECTS,
+            bounding_radii,
+            broad_phase_pairs,
+        )
+
+        pool = self.sim.voxels
+        if pool.n_objects < GRID_BROAD_PHASE_MIN_OBJECTS:
+            return 0
+        *_, overflow = broad_phase_pairs(
+            self.sim.phys.bodies.position[pool.body_index],
+            bounding_radii(pool), pool.alive,
+            max_pairs=1, margin=pool.voxel_extent,
+        )
+        return int(np.asarray(overflow))
 
     def dropped_raster_candidates(self) -> int:
         """Cumulative raster candidates lost to per-tile k_per_range or

@@ -203,7 +203,11 @@ def _compile_scene_impl(
     coll = _staged(
         empty_collidable_pools(n_spheres=min(64, tc.max_bodies), n_planes=8, n_capsules=16)
     )
-    forces = _staged(empty_force_pools(tc.max_bodies))
+    # cap_accel must scale with the body pool: almost every dynamic body
+    # carries a ConstantAcceleration (gravity) entry
+    forces = _staged(
+        empty_force_pools(tc.max_bodies, cap_accel=max(64, tc.max_bodies))
+    )
     drivers = _staged(empty_motion_driver_pools())
     lights = _staged(empty_light_pools(4, 2))
     absorbers = _staged(empty_absorber_pools())
@@ -301,6 +305,31 @@ def _compile_scene_impl(
     # --- pass 1: voxel objects -------------------------------------------------
     voxel_kinds = (C.VoxelSphere, C.VoxelBox, C.VoxelCapsule, C.VoxelSphereUnion,
                    C.GeneratedVoxelObject)
+    # identical-shape dedupe: scenes routinely instance one shape many times
+    # (the bench tumbler is 62 identical boxes); SDF generation and — below —
+    # the initial surface-nets meshing run once per DISTINCT
+    # (shape, noise, voxel-type) signature instead of once per object
+    # (VERDICT r4 item 1: compile_scene was the bench's largest cost)
+    import dataclasses as _dc
+
+    def _sig_of(*comps):
+        parts = []
+        for c in comps:
+            if c is None:
+                parts.append(None)
+                continue
+            vals = tuple(
+                tuple(np.asarray(getattr(c, f.name)).reshape(-1).tolist())
+                for f in _dc.fields(c)
+            )
+            parts.append((type(c).__name__, vals))
+        return tuple(parts)
+
+    shape_cache: dict = {}
+    uniq_sdf: list = []
+    uniq_vt: list = []
+    uniq_extent: list = []
+    uidx_of_obj = np.full(o_max, -1, np.int32)
     for eid in world.entities_with():
         shape = None
         for ck in voxel_kinds:
@@ -331,39 +360,65 @@ def _compile_scene_impl(
             )
         else:  # GeneratedVoxelObject
             graph = sdf_generators[int(shape.generator_id)]
-        if world.has_component(eid, C.MultifractalNoiseSDFModification):
-            nm = world.get_component(eid, C.MultifractalNoiseSDFModification)
-            graph = sdflib.noise_modifier(
-                graph, nm.octaves, nm.frequency, nm.lacunarity, nm.persistence,
-                nm.amplitude, int(nm.seed),
-            )
+        nm = (
+            world.get_component(eid, C.MultifractalNoiseSDFModification)
+            if world.has_component(eid, C.MultifractalNoiseSDFModification)
+            else None
+        )
+        vt = (
+            world.get_component(eid, C.SameVoxelType)
+            if world.has_component(eid, C.SameVoxelType)
+            else None
+        )
+        gn = (
+            world.get_component(eid, C.GradientNoiseVoxelTypes)
+            if world.has_component(eid, C.GradientNoiseVoxelTypes)
+            else None
+        )
+        sig = (_sig_of(shape, nm, vt, gn), g)
 
-        sdf_grid, origin = generate_sdf_grid(graph, g, extent)
-        if sdf_dtype == _jnp.int8:
-            from ..voxel.encoding import encode_sdf_i8
-
-            sdf_grid = encode_sdf_i8(sdf_grid, extent)
-        vtype_grid = jnp.zeros((g, g, g), jnp.int32)
-        if world.has_component(eid, C.SameVoxelType):
-            vt = world.get_component(eid, C.SameVoxelType)
-            vtype_grid = jnp.full((g, g, g), int(vt.voxel_type), jnp.int32)
-        elif world.has_component(eid, C.GradientNoiseVoxelTypes):
-            gn = world.get_component(eid, C.GradientNoiseVoxelTypes)
-            coords = (
-                jnp.stack(
-                    jnp.meshgrid(*([jnp.arange(g, dtype=jnp.float32)] * 3), indexing="ij"),
-                    axis=-1,
+        if sig in shape_cache:
+            ui = shape_cache[sig]
+            sdf_grid = uniq_sdf[ui]
+            vtype_grid = uniq_vt[ui]
+            origin = shape_cache[sig, "origin"]
+        else:
+            if nm is not None:
+                graph = sdflib.noise_modifier(
+                    graph, nm.octaves, nm.frequency, nm.lacunarity,
+                    nm.persistence, nm.amplitude, int(nm.seed),
                 )
-                * extent
-            )
-            noise = sdflib.gradient_noise(
-                coords * gn.noise_frequency, seed=int(gn.seed)
-            )
-            sel = jnp.clip(
-                ((noise * 0.5 + 0.5) * gn.n_voxel_types).astype(jnp.int32),
-                0, gn.n_voxel_types - 1,
-            )
-            vtype_grid = jnp.asarray(gn.voxel_types, jnp.int32)[sel]
+            sdf_grid, origin = generate_sdf_grid(graph, g, extent)
+            if sdf_dtype == _jnp.int8:
+                from ..voxel.encoding import encode_sdf_i8
+
+                sdf_grid = encode_sdf_i8(sdf_grid, extent)
+            vtype_grid = jnp.zeros((g, g, g), jnp.int32)
+            if vt is not None:
+                vtype_grid = jnp.full((g, g, g), int(vt.voxel_type), jnp.int32)
+            elif gn is not None:
+                coords = (
+                    jnp.stack(
+                        jnp.meshgrid(*([jnp.arange(g, dtype=jnp.float32)] * 3), indexing="ij"),
+                        axis=-1,
+                    )
+                    * extent
+                )
+                noise = sdflib.gradient_noise(
+                    coords * gn.noise_frequency, seed=int(gn.seed)
+                )
+                sel = jnp.clip(
+                    ((noise * 0.5 + 0.5) * gn.n_voxel_types).astype(jnp.int32),
+                    0, gn.n_voxel_types - 1,
+                )
+                vtype_grid = jnp.asarray(gn.voxel_types, jnp.int32)[sel]
+            ui = len(uniq_sdf)
+            shape_cache[sig] = ui
+            shape_cache[sig, "origin"] = origin
+            uniq_sdf.append(sdf_grid)
+            uniq_vt.append(vtype_grid)
+            uniq_extent.append(extent)
+        uidx_of_obj[oi] = ui
 
         pool = pool._replace(
             alive=pool.alive.at[oi].set(True),
@@ -1131,13 +1186,39 @@ def _compile_scene_impl(
                 "(raise tpu.chunk_submesh_slots)"
             )
     else:
+        # mesh each DISTINCT shape signature once, then gather to object
+        # slots (62 identical bench boxes = 1 surface-nets run, not 62).
+        # The unique count is padded to a power-of-two bucket so scenes with
+        # similar shape diversity share ONE compiled meshing program (the
+        # in-process jit cache keys on shapes; the compile costs ~20 s/CPU)
+        n_uniq = len(uniq_sdf)
+        bucket = max(2, 1 << (n_uniq - 1).bit_length()) if n_uniq else 2
+        while len(uniq_sdf) < min(bucket, o_max + 1):
+            if sdf_dtype == _jnp.int8:
+                uniq_sdf.append(jnp.full((g, g, g), 127, jnp.int8))
+            else:
+                uniq_sdf.append(jnp.full((g, g, g), 1e3, jnp.float32))
+            uniq_vt.append(jnp.zeros((g, g, g), jnp.int32))
+            uniq_extent.append(1.0)
+        if np.any(uidx_of_obj < 0):  # dead slots → the shared empty entry
+            if n_uniq == len(uniq_sdf):  # bucket full of real shapes
+                if sdf_dtype == _jnp.int8:
+                    uniq_sdf.append(jnp.full((g, g, g), 127, jnp.int8))
+                else:
+                    uniq_sdf.append(jnp.full((g, g, g), 1e3, jnp.float32))
+                uniq_vt.append(jnp.zeros((g, g, g), jnp.int32))
+                uniq_extent.append(1.0)
+            uidx_of_obj = np.where(uidx_of_obj < 0, n_uniq, uidx_of_obj)
         full = make_surface_nets_batched(config.tpu.mesh_merge_levels)(
-            _sdf_world(pool.sdf, pool.voxel_extent), pool.vtype
+            _sdf_world(jnp.stack(uniq_sdf), jnp.asarray(uniq_extent, jnp.float32)),
+            jnp.stack(uniq_vt),
         )
-        meshes = compact_mesh_batched(full, mesh_vert_cap, mesh_tri_cap)
+        meshes_u = compact_mesh_batched(full, mesh_vert_cap, mesh_tri_cap)
         from ..voxel.mesh import bake_mesh_materials
 
-        meshes = bake_mesh_materials(meshes, params.material_table)
+        meshes_u = bake_mesh_materials(meshes_u, params.material_table)
+        u_idx = jnp.asarray(uidx_of_obj)
+        meshes = jax.tree.map(lambda a: a[u_idx], meshes_u)
     pool = pool._replace(mesh_dirty=jnp.zeros_like(pool.mesh_dirty))
 
     from ..render.pipeline import RenderConfig, init_render_state
