@@ -23,13 +23,17 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 
 import jax  # noqa: E402
-
-try:  # CPU: deterministic, and the TPU tunnel is single-process
-    jax.config.update("jax_platforms", "cpu")
-except RuntimeError:
-    pass
-
 import numpy as np  # noqa: E402
+
+
+def force_cpu():
+    """CPU: deterministic, and the TPU tunnel is single-process. Called from
+    main() (not at import) so bench.py can import this module on TPU and
+    score a golden against the REAL Pallas raster (VERDICT r4 weak 3)."""
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except RuntimeError:
+        pass
 
 REF_DIR = pathlib.Path("/root/reference/apps/snapshot_tester/snapshots/reference")
 REF_CONFIG = "/root/reference/apps/snapshot_tester/config/engine_config.ron"
@@ -37,7 +41,7 @@ OUT_DIR = pathlib.Path(__file__).parent / "snapshots" / "parity"
 MIN_SCORE = 0.95  # ref: config.ron min_score_to_pass
 
 
-def build_runtime(name: str):
+def build_runtime(name: str, backend: str | None = None):
     from impact_tpu.models.parity_scenes import PARITY_SCENES
     from impact_tpu.runtime import HeadlessRuntime, compile_scene
     from impact_tpu.utils.config import EngineConfig
@@ -65,9 +69,27 @@ def build_runtime(name: str):
     cfg.tpu.soft_shadows = bool(feats.get("soft"))
 
     world = builder()
+    if backend is not None:
+        cfg.tpu.raster_backend = backend
     build = compile_scene(world, cfg)
     return HeadlessRuntime(build, cfg, enable_fracturing=False,
                            enable_absorption=False, enable_splitting=False)
+
+
+def score_reference_scene(name: str, backend: str | None = None) -> dict:
+    """Render one reference golden and score it on the CURRENT platform with
+    the given raster backend. Returns {"score", "raster_drops"} — the drop
+    counter must be 0 for the score to mean anything (a dropped nearest-z
+    candidate silently changes pixels)."""
+    from impact_tpu.utils.image import load_png, rgb_hybrid_compare
+
+    rt = build_runtime(name, backend=backend)
+    img = np.asarray(rt.render())
+    ref = np.asarray(load_png(REF_DIR / f"{name}.png"))[..., :3]
+    return {
+        "score": float(rgb_hybrid_compare(img, ref)),
+        "raster_drops": int(rt.dropped_raster_candidates()),
+    }
 
 
 def run(names, update_dir=None):
@@ -75,6 +97,7 @@ def run(names, update_dir=None):
 
     OUT_DIR.mkdir(parents=True, exist_ok=True)
     results = {}
+    drops = {}
     for name in names:
         t0 = time.perf_counter()
         rt = build_runtime(name)
@@ -82,32 +105,39 @@ def run(names, update_dir=None):
         ref = np.asarray(load_png(REF_DIR / f"{name}.png"))[..., :3]
         score = float(rgb_hybrid_compare(img, ref))
         results[name] = round(score, 4)
+        drops[name] = int(rt.dropped_raster_candidates())
         save_png(OUT_DIR / f"{name}.png", img)
         diff = np.abs(img.astype(np.int16) - ref.astype(np.int16))
         save_png(OUT_DIR / f"{name}.diff.png", diff.astype(np.uint8))
         print(
             f"[parity] {name}: {score:.4f} "
             f"({'PASS' if score >= MIN_SCORE else 'fail'}) "
+            f"drops={drops[name]} "
             f"{time.perf_counter() - t0:.0f}s",
             flush=True,
         )
-    return results
+    return results, drops
 
 
 def main(argv=None):
     from impact_tpu.models.parity_scenes import PARITY_SCENES
 
+    force_cpu()
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=None)
     ap.add_argument("--scene", action="append", default=None)
     args = ap.parse_args(argv)
     names = args.scene or list(PARITY_SCENES)
-    results = run(names)
+    results, drops = run(names)
+    # "no silent caps": a parity score over an image with dropped raster
+    # candidates is not parity evidence (VERDICT r4 weak 3)
+    assert all(d == 0 for d in drops.values()), f"raster drops: {drops}"
     summary = {
         "scenes": results,
         "n_pass": sum(1 for s in results.values() if s >= MIN_SCORE),
         "n_total": len(results),
         "min_score_to_pass": MIN_SCORE,
+        "raster_drops": drops,
         "goldens": str(REF_DIR),
     }
     out = args.out or "PARITY.json"

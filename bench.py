@@ -2,7 +2,7 @@
 
 Measures physics steps/sec with >=1M active deformable voxels and the
 step+render frame time for the full PBR pipeline (shadows + AO + TAA + bloom
-+ auto-exposure + tone mapping) at 1920x1080. Prints ONE JSON line.
++ auto-exposure + tone mapping) at 1920x1080.
 
 Baseline context (BASELINE.md): the reference publishes no numbers; its only
 measured datapoint is ~33 ms/frame (~30 FPS = 30 physics steps/sec at 1
@@ -11,6 +11,16 @@ substep/frame) for a 1000-small-voxel-object scene on a desktop GPU
 30 steps/sec wall-clock rate; the scenes differ (the reference scene has more
 objects, this one has ~25x more active voxels), so treat it as an
 order-of-magnitude anchor, not an apples-to-apples ratio.
+
+Un-killable emit discipline (VERDICT r4 item 1 — BENCH_r04 timed out with
+everything measured and nothing emitted): the result dict is emitted as a
+complete JSON line the moment the headline numbers exist, then RE-emitted
+after every optional phase with the new fields merged in. The driver parses
+the last JSON line of the tail, so a timeout mid-phase loses only that
+phase. A SIGTERM/SIGALRM handler emits the latest result and exits 0, and
+every optional phase is gated on the remaining wall-clock budget
+(BENCH_BUDGET_S, default 1050 s — the driver's own timeout killed r4 at
+roughly 1200 s).
 
 Robustness: TPU backend init is retried with backoff (the tunnel flakes); on
 persistent failure the script still exits 0 and emits a JSON line with an
@@ -21,23 +31,93 @@ from __future__ import annotations
 
 import json
 import os
+import signal
+import sys
 import time
 import traceback
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+import jax
+
+# Persistent compilation cache, pointed at a REPO-COMMITTED directory: the
+# TPU programs this bench compiles (fused frame, step scan, render stages)
+# cost 10+ minutes of XLA compile through the tunnel, which is what timed
+# out BENCH_r04 before it could emit. The repo ships the cache entries from
+# the final pre-round run, so the driver's run compiles (almost) nothing.
+# NOTE: set via jax.config.update — the harness pre-imports jax via
+# sitecustomize, so the usual env vars are read before we can set them.
+# CPU-backend work (compile_scene) bypasses the cache: CPU cache entries are
+# AOT-compiled for the build host's CPU features and may SIGILL elsewhere.
+_REPO_CACHE = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), ".jax_cache"
+)
+
+
+def _cache_on() -> None:
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("BENCH_JAX_CACHE", _REPO_CACHE),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+
+def _cache_off() -> None:
+    jax.config.update("jax_compilation_cache_dir", None)
+
+
+_cache_on()
 
 BASELINE_STEPS_PER_SEC = 30.0
+_T_START = time.monotonic()
+_BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1050"))
+
+# the latest merged result; signal handlers emit this on forced shutdown
+RESULT: dict = {
+    "metric": "physics steps/sec at >=1M active voxels (NOT MEASURED YET)",
+    "value": 0.0,
+    "unit": "steps/s",
+    "vs_baseline": 0.0,
+}
 
 
-def _emit(result: dict) -> None:
-    print(json.dumps(result))
+def _remaining() -> float:
+    return _BUDGET_S - (time.monotonic() - _T_START)
+
+
+def _emit() -> None:
+    """Print the CURRENT result as one complete JSON line (repeatable —
+    each line supersedes the previous; the driver keeps the last one)."""
+    print(json.dumps(RESULT), flush=True)
 
 
 def _log(msg: str) -> None:
-    import sys
+    print(f"[bench] {msg} (t={time.monotonic() - _T_START:.0f}s)",
+          file=sys.stderr, flush=True)
 
-    print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+def _on_signal(signum, frame):  # noqa: ARG001
+    RESULT.setdefault("bench_truncated", signal.Signals(signum).name)
+    _emit()
+    os._exit(0)
+
+
+signal.signal(signal.SIGTERM, _on_signal)
+signal.signal(signal.SIGALRM, _on_signal)
+# hard backstop ~90 s before the presumed driver timeout: even if a device
+# call blocks past the soft budget, we emit and exit under our own power
+signal.alarm(int(_BUDGET_S + 90))
+
+
+def _compile_scene_nocache(world, cfg):
+    """compile_scene with the repo cache suspended: its programs run on the
+    CPU backend, and CPU cache entries are machine-specific AOT code."""
+    from impact_tpu.runtime import compile_scene
+
+    _cache_off()
+    try:
+        return compile_scene(world, cfg)
+    finally:
+        _cache_on()
 
 
 def _init_devices(n_attempts: int = 4):
@@ -56,20 +136,9 @@ def _init_devices(n_attempts: int = 4):
             delay *= 2
 
 
-def main() -> dict:
-    devices = _init_devices()
-    import numpy as np
-
-    from impact_tpu.ecs import components as C
-    from impact_tpu.models import voxel_box_tumbler
-    from impact_tpu.runtime import HeadlessRuntime, compile_scene
+def _bench_config(n_objects: int, width: int, height: int):
     from impact_tpu.utils.config import EngineConfig
-    from impact_tpu.voxel.object import nonempty_counts
 
-    # 64 objects x 26^3-voxel solid boxes in 32^3 grids ~= 1.12M active voxels
-    n_objects = int(os.environ.get("BENCH_OBJECTS", "64"))
-    width = int(os.environ.get("BENCH_WIDTH", "1920"))
-    height = int(os.environ.get("BENCH_HEIGHT", "1080"))
     cfg = EngineConfig()
     cfg.tpu.max_voxel_objects = n_objects
     cfg.tpu.max_bodies = n_objects + 16
@@ -97,6 +166,23 @@ def main() -> dict:
     )
     # i8 SDF storage (ref VoxelSignedDistance semantics): ~35% faster stepping
     cfg.tpu.sdf_encoding = os.environ.get("BENCH_SDF", "i8")
+    return cfg
+
+
+def main() -> None:
+    devices = _init_devices()
+    import numpy as np
+
+    from impact_tpu.ecs import components as C
+    from impact_tpu.models import voxel_box_tumbler
+    from impact_tpu.runtime import HeadlessRuntime
+    from impact_tpu.voxel.object import nonempty_counts
+
+    # 64 objects x 26^3-voxel solid boxes in 32^3 grids ~= 1.12M active voxels
+    n_objects = int(os.environ.get("BENCH_OBJECTS", "64"))
+    width = int(os.environ.get("BENCH_WIDTH", "1920"))
+    height = int(os.environ.get("BENCH_HEIGHT", "1080"))
+    cfg = _bench_config(n_objects, width, height)
 
     world = voxel_box_tumbler(n_boxes=max(1, n_objects - 2), seed=3)
     for eid in world.entities_with(C.VoxelBox):
@@ -104,31 +190,29 @@ def main() -> dict:
         world.set_field(eid, C.VoxelBox, "extent_y", 26.0)
         world.set_field(eid, C.VoxelBox, "extent_z", 26.0)
     t0 = time.perf_counter()
-    build = compile_scene(world, cfg)
+    build = _compile_scene_nocache(world, cfg)
     _log(f"compile_scene {time.perf_counter() - t0:.0f}s")
     rt = HeadlessRuntime(build, cfg, enable_fracturing=False)
 
     n_active = int(np.sum(np.asarray(nonempty_counts(rt.sim.voxels))))
     _log(f"{n_active} active voxels")
-    dv, dt_drop = rt.dropped_mesh_elements()
-    _log(f"mesh compaction drops: {dv} verts, {dt_drop} tris (must be 0)")
 
-    # warm up (compile step + all render stages). rt.step(n) dispatches the
-    # k-step lax.scan batch whenever n >= k, so warming with 2*k compiles BOTH
-    # the single-step and the scan path — the timed loop below must never pay
-    # one-time XLA compile (VERDICT r03: a 2-step warmup left the k=8 scan
-    # cold and the 100-step loop swallowed ~40 s of compile).
+    # warm up step paths only. rt.step(n) dispatches the k-step lax.scan
+    # batch while n >= k and SINGLE steps for the remainder, so warming with
+    # 2*k+1 compiles BOTH the scan path and the single-step path — the timed
+    # loop below must never pay one-time XLA compile. (VERDICT r03: a 2-step
+    # warmup left the k=8 scan cold; in r5 a 2*k warmup left the SINGLE step
+    # cold and rt.step(100)'s 4 trailing single steps swallowed ~80 s of
+    # compile — "sustained 1.2 steps/s" while the honest step was 6.2 ms.)
+    # The render stages warm lazily where first used (VERDICT r04: a 217 s
+    # rt.render() warmup compiled stage programs the frame loop never
+    # dispatches).
     k = rt._step_batch_size
     t0 = time.perf_counter()
-    rt.step(2 * k)
-    _log(f"step warmup ({2 * k} steps, both paths) {time.perf_counter() - t0:.0f}s")
-    t0 = time.perf_counter()
-    rt.render()
-    rt.render()
-    _log(f"render warmup {time.perf_counter() - t0:.0f}s")
+    rt.step(2 * k + 1)
+    _log(f"step warmup ({2 * k + 1} steps, both paths) {time.perf_counter() - t0:.0f}s")
 
     import jax
-    import jax.numpy as jnp
 
     def _sync():
         # host fetch = the only true sync through the tunnel
@@ -148,11 +232,15 @@ def main() -> dict:
     rt.step(n_steps)
     _sync()
     dt_step = max(time.perf_counter() - t0 - sync_cost, 1e-9) / n_steps
+    steps_per_sec = 1.0 / dt_step
+    _log(f"sustained {steps_per_sec:.1f} steps/s")
 
     # measure step+render frames: ONE fused dispatch per frame (the tunnel's
     # per-dispatch floor is ~30 ms for a full-SimState program)
+    t0 = time.perf_counter()
     rt.step_and_render()
     _sync()
+    _log(f"frame warmup(compile) {time.perf_counter() - t0:.0f}s")
     n_frames = int(os.environ.get("BENCH_FRAMES", "20"))
     t0 = time.perf_counter()
     for _ in range(n_frames):
@@ -160,11 +248,79 @@ def main() -> dict:
     _sync()
     dt_frame = max(time.perf_counter() - t0 - sync_cost, 1e-9) / n_frames
 
-    # per-stage device times (host-fetch sync: block_until_ready does not
-    # block through the axon tunnel) + FLOP/MFU accounting from XLA's own
-    # cost analysis of the compiled engine step
+    dv, dt_drop = rt.dropped_mesh_elements()
+    _log(f"mesh compaction drops: {dv} verts, {dt_drop} tris (must be 0)")
+
+    RESULT.update(
+        {
+            "metric": (
+                f"physics steps/sec, {n_objects} deformable voxel objects, "
+                f"{n_active} active voxels ({n_objects * 32**3} grid cells); "
+                f"step+render(PBR shadows+AO+TAA+bloom) {dt_frame * 1e3:.1f} ms/frame "
+                f"@ {width}x{height} on {devices[0].device_kind}; baseline anchor: "
+                f"~30 steps/s for the reference's 1000-small-object desktop-GPU scene"
+            ),
+            "value": round(steps_per_sec, 2),
+            "unit": "steps/s",
+            "vs_baseline": round(steps_per_sec / BASELINE_STEPS_PER_SEC, 2),
+            "vs_baseline_caveat": (
+                "anchor is the reference's 1000-small-object desktop-GPU scene "
+                "(~30 steps/s wall rate inferred from its ~33 ms frame profile); "
+                "this scene is 64 objects x ~17.5k active voxels (~25x the active "
+                "voxel count) — treat as order-of-magnitude, not apples-to-apples"
+            ),
+            "frame_ms": round(dt_frame * 1e3, 1),
+            "dropped_mesh_elements": [int(dv), int(dt_drop)],
+            "dropped_raster_candidates": rt.dropped_raster_candidates(),
+        }
+    )
+    _emit()  # headline numbers are now on the record, whatever happens next
+
+    # ---- optional phases, budget-gated, each re-emitting on completion ----
+    if _remaining() > 120 and os.environ.get("BENCH_STAGES", "1") != "0":
+        try:
+            RESULT.update(bench_stage_table(rt))
+        except Exception as exc:
+            RESULT["stages_error"] = str(exc)[:300]
+        _emit()
+    else:
+        _log(f"skipping stage table ({_remaining():.0f}s left)")
+
+    if _remaining() > 240 and os.environ.get("BENCH_PARITY", "1") != "0":
+        try:
+            RESULT.update(bench_tpu_parity())
+        except Exception as exc:
+            RESULT["tpu_parity_error"] = str(exc)[:300]
+        _emit()
+    else:
+        _log(f"skipping tpu parity ({_remaining():.0f}s left)")
+
+    if _remaining() > 300 and os.environ.get("BENCH_FRACTURE", "1") != "0":
+        try:
+            RESULT.update(bench_fracture())
+        except Exception as exc:
+            RESULT["fracture_error"] = str(exc)[:300]
+        _emit()
+    else:
+        _log(f"skipping fracture phase ({_remaining():.0f}s left)")
+
+    if _remaining() > 240 and os.environ.get("BENCH_CHUNKED", "1") != "0":
+        try:
+            RESULT.update(bench_chunked_64())
+        except Exception as exc:
+            RESULT["chunked64_error"] = str(exc)[:300]
+        _emit()
+    else:
+        _log(f"skipping chunked64 phase ({_remaining():.0f}s left)")
+
+
+def bench_stage_table(rt) -> dict:
+    """Per-stage device times (host-fetch sync: block_until_ready does not
+    block through the axon tunnel) + FLOP/MFU accounting from XLA's own
+    cost analysis of the compiled engine step."""
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     def _fetch(out):
         # host fetch = the only true sync through the tunnel (and it costs
@@ -189,28 +345,24 @@ def main() -> dict:
     sim = rt.sim
     stages = {}
     geometry_ms = None
-    try:
-        scene = rt._scene_of(sim)
-        stages["scene_of"] = _time_stage(lambda: rt._scene_of(sim))
-        gb, _gd = rt._geometry(scene, sim.render.frame_index)
-        geometry_ms = _time_stage(
-            lambda: rt._geometry(scene, sim.render.frame_index)
-        )
-        stages["geometry"] = geometry_ms
-        sh = rt._shadows(scene)
-        stages["shadows"] = _time_stage(lambda: rt._shadows(scene))
-        omni, uni, _sd = sh
-        stages["shade"] = _time_stage(
-            lambda: rt._shade(gb, omni, uni, rt._textures)
-        )
-        lum = rt._shade(gb, omni, uni, rt._textures)
-        stages["post"] = _time_stage(
-            lambda: rt._post(lum, gb.motion, sim.render)
-        )
-        stages["step"] = _time_stage(lambda: rt._step(sim, rt.params))
-        stages = {k: round(v, 1) for k, v in stages.items()}
-    except Exception as exc:  # stage probing must never sink the bench
-        stages = {"error": str(exc)[:200]}
+    scene = rt._scene_of(sim)
+    stages["scene_of"] = _time_stage(lambda: rt._scene_of(sim))
+    gb, _gd = rt._geometry(scene, sim.render.frame_index)
+    geometry_ms = _time_stage(
+        lambda: rt._geometry(scene, sim.render.frame_index)
+    )
+    stages["geometry"] = geometry_ms
+    sh = rt._shadows(scene)
+    stages["shadows"] = _time_stage(lambda: rt._shadows(scene))
+    omni, uni, _sd = sh
+    stages["shade"] = _time_stage(
+        lambda: rt._shade(gb, omni, uni, rt._textures)
+    )
+    lum = rt._shade(gb, omni, uni, rt._textures)
+    stages["post"] = _time_stage(lambda: rt._post(lum, gb.motion, sim.render))
+    stages["step"] = _time_stage(lambda: rt._step(sim, rt.params))
+    stages = {k: round(v, 1) for k, v in stages.items()}
+    out = {"stages_ms": stages}
 
     def _cost_of(jitted, *args):
         """(flops, bytes accessed) from XLA's own cost analysis."""
@@ -223,7 +375,6 @@ def main() -> dict:
         )
 
     flops = 0.0
-    geometry_roofline = {}
     try:
         flops, _ = _cost_of(rt._step, sim, rt.params)
     except Exception:
@@ -233,7 +384,7 @@ def main() -> dict:
         # (GB/s vs ~819 GB/s v5e HBM) or eval-bound (GFLOP/s vs ~98e3 f32)?
         gf, gbytes = _cost_of(rt._geometry, scene, sim.render.frame_index)
         if geometry_ms:
-            geometry_roofline = {
+            out["geometry_roofline"] = {
                 "flops": gf,
                 "hbm_bytes": gbytes,
                 "achieved_gbps": round(gbytes / (geometry_ms * 1e-3) / 1e9, 1),
@@ -242,46 +393,33 @@ def main() -> dict:
     except Exception:
         pass
     # v5e peak ≈ 197 TFLOP/s bf16 / ~98 TFLOP/s f32; the step is mostly f32
-    mfu = flops / dt_step / 98e12 if flops else 0.0
+    if flops and stages.get("step"):
+        out["step_flops"] = flops
+        out["step_mfu_f32"] = round(
+            flops / (stages["step"] * 1e-3) / 98e12, 6
+        )
+    return out
 
-    fracture = {}
-    if os.environ.get("BENCH_FRACTURE", "1") != "0":
-        try:
-            fracture = bench_fracture()
-        except Exception as exc:
-            fracture = {"fracture_error": str(exc)[:300]}
-    if os.environ.get("BENCH_CHUNKED", "1") != "0":
-        try:
-            fracture.update(bench_chunked_64())
-        except Exception as exc:
-            fracture["chunked64_error"] = str(exc)[:300]
 
-    steps_per_sec = 1.0 / dt_step
+def bench_tpu_parity() -> dict:
+    """Score ONE reference golden on-device with the Pallas raster (VERDICT
+    r4 weak 3: the parity suite runs the CPU/XLA raster; the actual TPU
+    kernel output was never scored against the reference's own goldens).
+    Uses the same scene + scoring as apps/parity_snapshots.py at the
+    reference's native 768×512."""
+    from apps.parity_snapshots import score_reference_scene
+
+    name = os.environ.get("BENCH_PARITY_SCENE", "ShadowCubeMapping")
+    t0 = time.perf_counter()
+    res = score_reference_scene(name, backend="pallas")
+    _log(
+        f"tpu parity [{name}] score {res['score']:.3f} "
+        f"({time.perf_counter() - t0:.0f}s)"
+    )
     return {
-        "metric": (
-            f"physics steps/sec, {n_objects} deformable voxel objects, "
-            f"{n_active} active voxels ({n_objects * 32**3} grid cells); "
-            f"step+render(PBR shadows+AO+TAA+bloom) {dt_frame * 1e3:.1f} ms/frame "
-            f"@ {width}x{height} on {devices[0].device_kind}; baseline anchor: "
-            f"~30 steps/s for the reference's 1000-small-object desktop-GPU scene"
-        ),
-        "value": round(steps_per_sec, 2),
-        "unit": "steps/s",
-        "vs_baseline": round(steps_per_sec / BASELINE_STEPS_PER_SEC, 2),
-        "vs_baseline_caveat": (
-            "anchor is the reference's 1000-small-object desktop-GPU scene "
-            "(~30 steps/s wall rate inferred from its ~33 ms frame profile); "
-            "this scene is 64 objects x ~17.5k active voxels (~25x the active "
-            "voxel count) — treat as order-of-magnitude, not apples-to-apples"
-        ),
-        "frame_ms": round(dt_frame * 1e3, 1),
-        "stages_ms": stages,
-        "step_flops": flops,
-        "step_mfu_f32": round(mfu, 4),
-        "geometry_roofline": geometry_roofline,
-        "dropped_mesh_elements": list(rt.dropped_mesh_elements()),
-        "dropped_raster_candidates": rt.dropped_raster_candidates(),
-        **fracture,
+        "tpu_parity_scene": name,
+        "tpu_parity_score": round(float(res["score"]), 4),
+        "tpu_parity_raster_drops": int(res.get("raster_drops", -1)),
     }
 
 
@@ -293,14 +431,15 @@ def bench_fracture() -> dict:
     every fragment → fresh collision probes — runs inside ONE engine step,
     so the reported latency is (event-step wall time − steady-step wall
     time), one dispatch each."""
+    import jax
     import numpy as np
 
     from impact_tpu.ecs import components as C
     from impact_tpu.models import fracturing
-    from impact_tpu.runtime import HeadlessRuntime, compile_scene
+    from impact_tpu.runtime import HeadlessRuntime
     from impact_tpu.utils.config import EngineConfig
 
-    n_frag = int(os.environ.get("BENCH_FRACTURE_FRAGMENTS", "128"))
+    n_frag = int(os.environ.get("BENCH_FRACTURE_FRAGMENTS", "192"))
     cfg = EngineConfig()
     cfg.tpu.max_voxel_objects = n_frag + 16
     cfg.tpu.max_bodies = n_frag + 32
@@ -321,25 +460,37 @@ def bench_fracture() -> dict:
         world.set_field(eid, C.FracturingProperties, "impulse_threshold", 5.0)
 
     t0 = time.perf_counter()
-    build = compile_scene(world, cfg)
+    build = _compile_scene_nocache(world, cfg)
     _log(f"fracture compile_scene {time.perf_counter() - t0:.0f}s")
     rt = HeadlessRuntime(build, cfg)
     t0 = time.perf_counter()
     rt.step(1)  # compile the single-step path (incl. fracture + remesh)
     _log(f"fracture step compile {time.perf_counter() - t0:.0f}s")
 
-    # find the (deterministic) event step
+    # find the (deterministic) event step — stepping in batches between
+    # fetches (VERDICT r4 weak 1c: 400 per-step device_get round-trips
+    # through the tunnel)
     alive0 = int(np.asarray(rt.sim.voxels.alive).sum())
-    k_event = None
-    for i in range(1, 401):
-        rt.step(1)
+    batch = 10
+    k_hi = None
+    for i in range(batch, 401, batch):
+        rt.step(batch)
         a = int(np.asarray(rt.sim.voxels.alive).sum())
         if a > alive0:
-            k_event = i
-            n_fragments = a - alive0
+            k_hi = i
             break
-    if k_event is None:
+    if k_hi is None:
         return {"fracture_error": "no fracture event within 400 steps"}
+    # narrow to the exact step inside (k_hi - batch, k_hi]
+    rt.reset_world()
+    rt.step(k_hi - batch)
+    k_event = k_hi - batch
+    a = alive0
+    while a == alive0:
+        rt.step(1)
+        k_event += 1
+        a = int(np.asarray(rt.sim.voxels.alive).sum())
+    n_fragments = a - alive0
     _log(f"fracture event at step {k_event}: {n_fragments} fragments")
 
     # replay: steady-state single-step baseline just before the event,
@@ -352,8 +503,6 @@ def bench_fracture() -> dict:
         rt.step(1)
         np.asarray(jax.device_get(rt.sim.voxels.alive))
         return time.perf_counter() - t0
-
-    import jax
 
     pre = sorted(timed_step() for _ in range(5))
     baseline = pre[len(pre) // 2]
@@ -381,11 +530,12 @@ def bench_chunked_64() -> dict:
     Asteroid-scale 64³ object under CONTINUOUS absorption, where every step
     re-meshes dirty chunks. Logs the per-step cost together with the
     surface-chunk count it should track."""
+    import jax
     import numpy as np
 
     from impact_tpu.ecs import components as C
     from impact_tpu.models import asteroid
-    from impact_tpu.runtime import HeadlessRuntime, compile_scene
+    from impact_tpu.runtime import HeadlessRuntime
     from impact_tpu.utils.config import EngineConfig
     from impact_tpu.voxel.object import (
         nonempty_counts,
@@ -419,15 +569,13 @@ def bench_chunked_64() -> dict:
         C.VoxelAbsorbingSphere(offset=(0.0, 0.0, 0.0), radius=3.0, rate=2.0),
     )
     t0 = time.perf_counter()
-    build = compile_scene(world, cfg)
+    build = _compile_scene_nocache(world, cfg)
     _log(f"chunked64 compile_scene {time.perf_counter() - t0:.0f}s")
     rt = HeadlessRuntime(build, cfg, enable_fracturing=False)
     k = rt._step_batch_size
     t0 = time.perf_counter()
-    rt.step(2 * k)
+    rt.step(2 * k + 1)  # 2*k+1: warm the scan path AND the single-step path
     _log(f"chunked64 warmup {time.perf_counter() - t0:.0f}s")
-
-    import jax
 
     def _sync():
         np.asarray(jax.device_get(rt.sim.voxels.alive))
@@ -454,15 +602,13 @@ def bench_chunked_64() -> dict:
 
 if __name__ == "__main__":
     try:
-        result = main()
+        main()
     except Exception as exc:  # emit the failure as data, never rc!=0
-        result = {
-            "metric": "physics steps/sec at >=1M active voxels (FAILED)",
-            "value": 0.0,
-            "unit": "steps/s",
-            "vs_baseline": 0.0,
-            "error": "".join(
-                traceback.format_exception_only(type(exc), exc)
-            ).strip()[:500],
-        }
-    _emit(result)
+        if RESULT.get("value", 0.0) == 0.0:
+            RESULT["metric"] = "physics steps/sec at >=1M active voxels (FAILED)"
+        RESULT["error"] = "".join(
+            traceback.format_exception_only(type(exc), exc)
+        ).strip()[:500]
+        _emit()
+    else:
+        _emit()

@@ -28,3 +28,12 @@ try:
     jax.config.update("jax_platforms", "cpu")
 except Exception:  # backend already initialized (e.g. single-test debugging)
     pass
+
+# sitecustomize pre-imports jax BEFORE this file runs, so the cache env vars
+# above never reach jax's import-time config read — set the config directly
+# (without this the suite recompiled every large program every run)
+jax.config.update(
+    "jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"]
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
