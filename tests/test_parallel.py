@@ -344,6 +344,34 @@ class TestPodScaleStep:
             f"shard bound ({per_shard_axis_bytes}) — a global re-gather"
         )
 
+        # pin the halo pattern (VERDICT-r4 item 8): the grid stencils
+        # (surface nets remesh, absorption, CCL) must ride collective
+        # permutes along the 'space' axis — and NO all-gather may
+        # materialize a whole [*, ≥G-1, ≥G, ≥G] voxel grid (a GSPMD
+        # regression that re-gathers grids would still pass the byte bound
+        # above at small G).
+        hlo = compiled.as_text()
+        assert "collective-permute" in hlo, (
+            "sharded step lost its halo collective-permutes"
+        )
+        g = cfg.tpu.voxel_grid_size
+        grid_gathers = []
+        for line in hlo.splitlines():
+            if "all-gather(" not in line:
+                continue
+            m = re.search(r"=\s*\(?(\w+)\[([\d,]*)\]", line)
+            if not m:
+                continue
+            dims = [int(d) for d in m.group(2).split(",") if d]
+            if (
+                len(dims) >= 4
+                and dims[-1] >= g
+                and dims[-2] >= g
+                and dims[-3] >= g - 1
+            ):
+                grid_gathers.append(line.strip()[:120])
+        assert not grid_gathers, grid_gathers
+
         out = compiled(sim_s, params_r)
         assert np.isfinite(np.asarray(out.phys.bodies.position)).all()
         assert int(np.asarray(jnp.sum(out.voxels.alive))) == 6
