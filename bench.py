@@ -455,8 +455,11 @@ def bench_fracture() -> dict:
 
     world = fracturing()
     for eid in world.entities_with(C.FracturingProperties):
-        # fragment most of the box: radius spans it, threshold hits early
-        world.set_field(eid, C.FracturingProperties, "fracture_radius", 4.0)
+        # radius matched to the 14-voxel box (half-extent 1.75): keeps the
+        # radial-falloff seed cloud inside the box so nearly every Voronoi
+        # cell contains voxels (probe_frag_yield.py: r=2.5 → ~162 actual
+        # fragments of 191 seeds; the old r=4.0 left ~40% of cells empty)
+        world.set_field(eid, C.FracturingProperties, "fracture_radius", 2.5)
         world.set_field(eid, C.FracturingProperties, "impulse_threshold", 5.0)
 
     t0 = time.perf_counter()

@@ -1104,6 +1104,9 @@ def _compile_scene_impl(
     pool = _committed(pool)
     dist_rules = _committed(dist_rules)
     mesh_instances = _committed(mesh_instances)
+    from ..scene.assembly import bake_mesh_instance_corners
+
+    mesh_instances = bake_mesh_instance_corners(mesh_instances)
 
     if drag_tables:
         forces = forces._replace(
@@ -1252,10 +1255,12 @@ def _build_static_geometry(user_geometry, ground_planes):
         parts.append(user_geometry)
     for y in ground_planes:
         parts.append(ground_plane_geometry(y=y))
+    from ..scene.assembly import bake_static_geometry_corners
+
     if not parts:
         return empty_static_geometry()
     if len(parts) == 1:
-        return parts[0]
+        return bake_static_geometry_corners(parts[0])
     # concatenate with vertex offsets
     out = parts[0]
     for p in parts[1:]:
@@ -1271,7 +1276,7 @@ def _build_static_geometry(user_geometry, ground_planes):
             tri_indices=jnp.concatenate([out.tri_indices, p.tri_indices + base]),
             tri_active=jnp.concatenate([out.tri_active, p.tri_active]),
         )
-    return out
+    return bake_static_geometry_corners(out)
 
 
 def render_config_from_engine_config(config: EngineConfig):

@@ -35,6 +35,11 @@ class StaticGeometry(NamedTuple):
     vert_material: jnp.ndarray  # i32[Vs] voxel-type/texture layer, -1 untextured
     tri_indices: jnp.ndarray  # i32[Ts,3]
     tri_active: jnp.ndarray  # bool[Ts]
+    # corner-major fields baked at setup (bake_static_geometry_corners):
+    # dict of tri_pos/tri_normal/… [Ts,9|3] arrays. Same rationale as
+    # MeshInstancePool.corner_pos — static data, so hoist the per-frame
+    # vertex gather out of the frame program.
+    corners: dict = None
 
 
 class MeshInstancePool(NamedTuple):
@@ -67,6 +72,14 @@ class MeshInstancePool(NamedTuple):
     # ref: Textured*/NormalMap/ParallaxMap setup components lower into one
     # layer per entity, setup/physical.rs:36-214)
     material: jnp.ndarray = None  # i32[M]
+    # corner-major local geometry baked at pool-build time
+    # (bake_mesh_instance_corners). The per-frame vertex gather this replaces
+    # both wastes a gather per frame AND miscompiles on the tunneled-TPU
+    # platform when fused into the full scene-assembly program (corners
+    # collapse → zero screen area → empty frame); geometry is static after
+    # setup, so bake it once.
+    corner_pos: jnp.ndarray = None  # f32[M,Tm,9]
+    corner_normal: jnp.ndarray = None  # f32[M,Tm,9]
 
 
 def empty_mesh_instances(m: int, vm: int, tm: int) -> MeshInstancePool:
@@ -146,8 +159,35 @@ def _corner3(arr_v, tris):
     return jnp.concatenate(parts, axis=-1)
 
 
+def bake_mesh_instance_corners(mi: MeshInstancePool) -> MeshInstancePool:
+    """Precompute corner-major local geometry for a finalized pool.
+
+    Call once after the last vert/index mutation (runtime setup does); the
+    per-frame scene assembly then reads ``corner_pos``/``corner_normal``
+    instead of gathering vertices every frame. Gathers on host (numpy) —
+    setup-time work, and immune to device relayout."""
+    import numpy as np
+
+    vp = np.asarray(mi.vert_pos)  # [M,Vm,3]
+    vn = np.asarray(mi.vert_normal)
+    ti = np.asarray(mi.tri_indices)  # [M,Tm,3]
+    m = vp.shape[0]
+    rows = np.arange(m)[:, None, None]
+    local9 = vp[rows, ti].reshape(m, ti.shape[1], 9)
+    nrm9 = vn[rows, ti].reshape(m, ti.shape[1], 9)
+    return mi._replace(
+        corner_pos=jnp.asarray(local9), corner_normal=jnp.asarray(nrm9)
+    )
+
+
 def static_geometry_corners(sg: StaticGeometry):
     """StaticGeometry → corner-major field dict (positions world-space)."""
+    if sg.corners is not None:
+        return dict(
+            **sg.corners,
+            tri_active=sg.tri_active,
+            tri_shadow=jnp.ones_like(sg.tri_active),
+        )
     t = sg.tri_indices
     pos = _corner3(sg.vert_pos, t)
     return dict(
@@ -162,6 +202,34 @@ def static_geometry_corners(sg: StaticGeometry):
         tri_active=sg.tri_active,
         tri_shadow=jnp.ones_like(sg.tri_active),
     )
+
+
+def bake_static_geometry_corners(sg: StaticGeometry) -> StaticGeometry:
+    """Precompute the corner-major field dict on host (numpy) for a
+    finalized StaticGeometry. See bake_mesh_instance_corners."""
+    import numpy as np
+
+    ti = np.asarray(sg.tri_indices)
+
+    def g(a):
+        a = np.asarray(a)
+        parts = [a[ti[:, c]] for c in range(3)]
+        if a.ndim == 1:
+            return jnp.asarray(np.stack(parts, axis=-1))
+        return jnp.asarray(np.concatenate(parts, axis=-1))
+
+    pos = g(sg.vert_pos)
+    corners = dict(
+        tri_pos=pos,
+        tri_pos_prev=pos,
+        tri_normal=g(sg.vert_normal),
+        tri_albedo=g(sg.vert_albedo),
+        tri_f0=g(sg.vert_f0),
+        tri_roughness=g(sg.vert_roughness),
+        tri_emissive=g(sg.vert_emissive),
+        tri_material=g(sg.vert_material),
+    )
+    return sg._replace(corners=corners)
 
 
 def _rotate9(q, pos9):
@@ -311,8 +379,11 @@ def _mesh_instance_corners(
     qp = jnp.where(use_body, body_orientation_prev[bi], mi.orientation)[:, None, :]
     xp = jnp.where(use_body, body_position_prev[bi], mi.position)
 
-    local9 = jax.vmap(_corner3)(mi.vert_pos, mi.tri_indices)  # [M,Tm,9]
-    nrm9 = jax.vmap(_corner3)(mi.vert_normal, mi.tri_indices)
+    if mi.corner_pos is not None:
+        local9, nrm9 = mi.corner_pos, mi.corner_normal  # [M,Tm,9] baked
+    else:
+        local9 = jax.vmap(_corner3)(mi.vert_pos, mi.tri_indices)  # [M,Tm,9]
+        nrm9 = jax.vmap(_corner3)(mi.vert_normal, mi.tri_indices)
     world9 = _rotate9(q, local9) + jnp.tile(x, (1, 3))[:, None, :]
     world9_prev = _rotate9(qp, local9) + jnp.tile(xp, (1, 3))[:, None, :]
     normal9 = _rotate9(q, nrm9)
