@@ -129,7 +129,12 @@ def ball_pit(n_balls: int = 12, seed: int = 0) -> World:
     _camera(w, (0.0, 10.0, 24.0), (0.0, 1.0, 0.0))
     _standard_lights(w)
     _ground(w, y=0.0, restitution=0.5)
+    palette = [
+        (0.8, 0.25, 0.2), (0.2, 0.55, 0.8), (0.85, 0.7, 0.2),
+        (0.3, 0.7, 0.35), (0.7, 0.35, 0.75), (0.9, 0.5, 0.3),
+    ]
     for i in range(n_balls):
+        col = palette[i % len(palette)]
         w.create_entity(
             C.ReferenceFrame(
                 position=(
@@ -138,6 +143,12 @@ def ball_pit(n_balls: int = 12, seed: int = 0) -> World:
                     float(rng.uniform(-4, 4)),
                 )
             ),
+            # renderable sphere (unit diameter = collidable radius 0.5; the
+            # reference's BallPit bodies carry mesh + material setup
+            # components too, Scenes/BallPit.roc create_capsules!)
+            C.SphereMesh(n_rings=12),
+            C.UniformColor(color=col),
+            C.UniformRoughness(roughness=0.4),
             C.SphericalCollidable(kind=0, radius=0.5, restitution=0.6,
                                   static_friction=0.5, dynamic_friction=0.3),
             C.DynamicRigidBodySubstance(mass_density=1200.0),
