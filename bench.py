@@ -306,12 +306,24 @@ def main() -> None:
 
     if _remaining() > 240 and os.environ.get("BENCH_CHUNKED", "1") != "0":
         try:
-            RESULT.update(bench_chunked_64())
+            RESULT.update(bench_chunked(64))
         except Exception as exc:
             RESULT["chunked64_error"] = str(exc)[:300]
         _emit()
     else:
         _log(f"skipping chunked64 phase ({_remaining():.0f}s left)")
+
+    # 128³: the grid-volume-independence proof point — 8× the voxels of the
+    # 64³ phase, step cost tracking surface chunks instead (VERDICT-r4
+    # item 4's chunked128 demo)
+    if _remaining() > 300 and os.environ.get("BENCH_CHUNKED", "1") != "0":
+        try:
+            RESULT.update(bench_chunked(128))
+        except Exception as exc:
+            RESULT["chunked128_error"] = str(exc)[:300]
+        _emit()
+    else:
+        _log(f"skipping chunked128 phase ({_remaining():.0f}s left)")
 
 
 def bench_stage_table(rt) -> dict:
@@ -527,12 +539,15 @@ def bench_fracture() -> dict:
     }
 
 
-def bench_chunked_64() -> dict:
-    """64³ objects via chunk-gated meshing (ref: object.rs:75-101 chunked
-    grids + mesh.rs:360 incremental remesh — VERDICT-r3 item 4): an
-    Asteroid-scale 64³ object under CONTINUOUS absorption, where every step
-    re-meshes dirty chunks. Logs the per-step cost together with the
-    surface-chunk count it should track."""
+def bench_chunked(grid_size: int) -> dict:
+    """Chunk-gated objects at ``grid_size``³ (ref: object.rs:75-101 chunked
+    grids + mesh.rs:360 incremental remesh — VERDICT-r3 item 4 / r4 item 4):
+    an Asteroid-scale object under CONTINUOUS absorption, where every step
+    carves absorber-overlapped chunk windows and re-meshes the dirty chunks.
+    Logs the per-step cost together with the surface-chunk count it should
+    track — per-step work is O(budget·18³) remesh + O(B·16³) carve,
+    independent of grid volume, so step_ms between the 64³ and 128³ phases
+    should track surface-chunk counts, not the 8× volume ratio."""
     import jax
     import numpy as np
 
@@ -545,16 +560,21 @@ def bench_chunked_64() -> dict:
         surface_chunk_counts,
     )
 
+    g = grid_size
+    n_obj = 4 if g <= 64 else 2
+    tag = f"chunked{g}"
     cfg = EngineConfig()
-    cfg.tpu.max_voxel_objects = 4
-    cfg.tpu.max_bodies = 12
+    cfg.tpu.max_voxel_objects = n_obj
+    cfg.tpu.max_bodies = n_obj + 8
     cfg.tpu.max_contacts = 256
-    cfg.tpu.voxel_grid_size = 64
+    cfg.tpu.voxel_grid_size = g
     cfg.tpu.render_width = 320
     cfg.tpu.render_height = 200
     cfg.tpu.solver_mode = "jacobi"
     cfg.tpu.sdf_encoding = os.environ.get("BENCH_SDF", "i8")
     cfg.tpu.chunked_remesh = True
+    # 2 objects × ~180 surface chunks at 128³ fit 512 slots; the slot pool's
+    # HBM footprint scales with slots × chunk_tri_cap, so keep it right-sized
     cfg.tpu.chunk_submesh_slots = 512
     cfg.tpu.chunk_remesh_budget = int(
         os.environ.get("BENCH_CHUNK_BUDGET", "16")
@@ -563,22 +583,24 @@ def bench_chunked_64() -> dict:
 
     world = asteroid()
     for eid in world.entities_with(C.VoxelSphere):
-        # fill the 64³ grid: radius 28 voxels of extent 0.3
-        world.set_field(eid, C.VoxelSphere, "radius", 8.4)
-    # a continuous absorber keeps chunks dirty so the remesh path is IN the
-    # measured loop
+        # fill the grid: radius (g/2 − 4) voxels of extent 0.3
+        world.set_field(
+            eid, C.VoxelSphere, "radius", (g / 2 - 4) * 0.3
+        )
+    # a continuous absorber keeps chunks dirty so the carve + remesh paths
+    # are IN the measured loop
     world.create_entity(
         C.ReferenceFrame(position=(4.0, 4.0, 0.0)),
         C.VoxelAbsorbingSphere(offset=(0.0, 0.0, 0.0), radius=3.0, rate=2.0),
     )
     t0 = time.perf_counter()
     build = _compile_scene_nocache(world, cfg)
-    _log(f"chunked64 compile_scene {time.perf_counter() - t0:.0f}s")
+    _log(f"{tag} compile_scene {time.perf_counter() - t0:.0f}s")
     rt = HeadlessRuntime(build, cfg, enable_fracturing=False)
     k = rt._step_batch_size
     t0 = time.perf_counter()
     rt.step(2 * k + 1)  # 2*k+1: warm the scan path AND the single-step path
-    _log(f"chunked64 warmup {time.perf_counter() - t0:.0f}s")
+    _log(f"{tag} warmup {time.perf_counter() - t0:.0f}s")
 
     def _sync():
         np.asarray(jax.device_get(rt.sim.voxels.alive))
@@ -594,12 +616,13 @@ def bench_chunked_64() -> dict:
     n_surf = int(np.sum(np.asarray(surface_chunk_counts(rt.sim.voxels))))
     dv, dt_drop = rt.dropped_mesh_elements()
     return {
-        "chunked64_step_ms": round(step_ms, 1),
-        "chunked64_active_voxels": n_vox,
-        "chunked64_surface_chunks": n_surf,
-        "chunked64_total_chunks": 4 * 64,
-        "chunked64_remesh_budget": cfg.tpu.chunk_remesh_budget,
-        "chunked64_dropped_mesh_elements": [int(dv), int(dt_drop)],
+        f"{tag}_step_ms": round(step_ms, 1),
+        f"{tag}_active_voxels": n_vox,
+        f"{tag}_surface_chunks": n_surf,
+        f"{tag}_total_chunks": n_obj * (g // 16) ** 3,
+        f"{tag}_remesh_budget": cfg.tpu.chunk_remesh_budget,
+        f"{tag}_deferred_chunk_carves": rt.deferred_absorptions(),
+        f"{tag}_dropped_mesh_elements": [int(dv), int(dt_drop)],
     }
 
 

@@ -256,13 +256,16 @@ def make_engine_step(
     chunked = bool(config.tpu.chunked_remesh)
     if chunked:
         from ..voxel.chunk_mesh import (
+            mark_chunks_dirty as _cm_mark_chunks,
             mark_objects_dirty as _cm_mark,
             remesh_chunks as _cm_remesh,
             reset_objects as _cm_reset,
         )
+        from ..voxel.interaction import apply_absorption_chunk_gated
 
         chunk_budget = config.tpu.chunk_remesh_budget
         chunk_vert_cap = config.tpu.chunk_vert_cap
+        absorb_chunk_budget = config.tpu.absorption_chunk_budget
 
     # scenes without absorbers skip the O(O·G³) absorption pass entirely
     # (static decision — the absorber pools are scene constants)
@@ -332,13 +335,30 @@ def make_engine_step(
             ),
         )
 
-        # 2. absorption (ref task ApplyVoxelAbsorption)
+        # 2. absorption (ref task ApplyVoxelAbsorption). In chunked mode the
+        #    carve is chunk-gated — O(B·16³·A) on absorber-overlapped chunk
+        #    windows, independent of grid volume (ref: absorption.rs:434) —
+        #    and reports chunk-granular dirt so only the touched chunks'
+        #    submeshes re-mesh; the dense/object-gated path invalidates
+        #    whole objects.
+        absorb_changed = None
+        absorb_chunks = None
         if enable_absorption and has_absorbers:
-            pool = apply_absorption(
-                pool, params.absorbers, phys.bodies.position,
-                phys.bodies.orientation,
-                gate_cap=min(config.tpu.absorption_gate_cap, o_max),
-            )
+            if chunked:
+                step_no = jnp.round(phys.time / dt).astype(jnp.int32)
+                pool, absorb_changed, absorb_chunks, _ = (
+                    apply_absorption_chunk_gated(
+                        pool, params.absorbers, phys.bodies.position,
+                        phys.bodies.orientation, absorb_chunk_budget,
+                        rotation=step_no * absorb_chunk_budget,
+                    )
+                )
+            else:
+                pool = apply_absorption(
+                    pool, params.absorbers, phys.bodies.position,
+                    phys.bodies.orientation,
+                    gate_cap=min(config.tpu.absorption_gate_cap, o_max),
+                )
 
         # 3. fracturing on impact impulse (ref task ExecuteVoxelObjectFracturing)
         rng = sim.rng
@@ -363,7 +383,18 @@ def make_engine_step(
             # entries would alias recycled slots)
             new_objs = pool.alive & ~sim.voxels.alive
             meshes = _cm_reset(meshes, new_objs)
+            # whole-object invalidation only for topology events (fracture/
+            # split) and pre-existing dirt — pool.mesh_dirty here, since the
+            # chunk-gated absorber pass above deliberately did not set it.
+            # Absorption contributes chunk-granular dirt, then joins
+            # mesh_dirty so the object-level inertia/COM/probe sync below
+            # still runs for carved objects.
             meshes = _cm_mark(meshes, pool.mesh_dirty)
+            if absorb_chunks is not None:
+                meshes = _cm_mark_chunks(meshes, absorb_chunks)
+                pool = pool._replace(
+                    mesh_dirty=pool.mesh_dirty | absorb_changed
+                )
         dirty = pool.mesh_dirty
         any_dirty = jnp.any(dirty)
 

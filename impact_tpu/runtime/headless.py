@@ -364,6 +364,21 @@ class HeadlessRuntime:
 
         if not self._features.get("enable_absorption", True):
             return 0
+        if self.config.tpu.chunked_remesh:
+            # chunked mode defers CHUNK carves beyond the pair budget, not
+            # whole objects
+            from ..voxel.interaction import _chunk_absorber_hit
+
+            hit = _chunk_absorber_hit(
+                self.sim.voxels, self.params.absorbers,
+                self.sim.phys.bodies.position,
+                self.sim.phys.bodies.orientation,
+            )
+            return max(
+                int(np.asarray(jnp.sum(hit)))
+                - self.config.tpu.absorption_chunk_budget,
+                0,
+            )
         cap = min(
             self.config.tpu.absorption_gate_cap,
             self.config.tpu.max_voxel_objects,

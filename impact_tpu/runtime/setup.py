@@ -165,6 +165,11 @@ def compile_scene(
     CPU — compiling those programs for the accelerator costs minutes and buys
     nothing for a single execution — then the finished state is transferred to
     the default device for the hot loop."""
+    if config.tpu.chunked_remesh is None:
+        # AUTO: chunk-gated meshing/absorption/invalidation for 64³+ grids
+        # (resolved on the config in place so the runtime, counters, and
+        # benches all see the decision)
+        config.tpu.chunked_remesh = config.tpu.voxel_grid_size >= 64
     target = jax.devices()[0]
     cpu = jax.devices("cpu")[0]
     if target.platform == "cpu":

@@ -304,6 +304,11 @@ class TpuConfig:
     # absorption runs dense only on the ≤cap objects whose bounding spheres
     # overlap an absorber (gathered sub-pool) — O(K·G³), not O(O·G³)
     absorption_gate_cap: int = 8
+    # chunked mode: absorber carve visits only the ≤budget (object, chunk)
+    # 16³ windows overlapping an absorber — O(B·16³·A), independent of grid
+    # volume (ref: absorption.rs:434). Overflow defers to later steps and is
+    # counted (HeadlessRuntime.deferred_absorptions).
+    absorption_chunk_budget: int = 32
     # seeds/event — effective count is min(this, the RON impact config's
     # max_fragment_count (ref default 512), max_voxel_objects), so small
     # pools stay small; memory-bounded at 128 vs the reference's 512
@@ -313,8 +318,13 @@ class TpuConfig:
     # chunk-gated meshing (ref: mesh.rs:360 incremental invalidated-chunk
     # remeshing): surface meshes live in a shared pool of chunk-submesh
     # slots; per-step remesh cost is O(chunk_remesh_budget · 18³), tracking
-    # surface-chunk counts instead of O·G³ — required for 64³+ objects
-    chunked_remesh: bool = False
+    # surface-chunk counts instead of O·G³. None = AUTO: on for G ≥ 64
+    # (resolved by compile_scene), where whole-grid remeshing stops being
+    # affordable — chunking is the engine's spine there (absorption carve,
+    # mesh invalidation, and CCL all go chunk-granular). At G = 32 the
+    # dense path stays default: a full remesh is 8 chunk windows' work and
+    # per-object triangle slabs beat the slot pool's render indirection.
+    chunked_remesh: bool | None = None
     chunk_submesh_slots: int = 0  # 0 = auto (min(O·C, 1024))
     chunk_tri_cap: int = 1024  # triangle slots per chunk submesh
     chunk_vert_cap: int = 1024  # vertex budget per chunk compaction

@@ -282,6 +282,13 @@ def remesh_chunks(
     )
 
 
+def mark_chunks_dirty(cpool: ChunkMeshPool, chunk_mask):
+    """Flag individual chunks for remesh (``chunk_mask`` bool[O,C]) — the
+    chunk-granular invalidation used by the chunk-gated absorber carve
+    (ref: mesh.rs:360 — only invalidated chunks re-mesh)."""
+    return cpool._replace(chunk_dirty=cpool.chunk_dirty | chunk_mask)
+
+
 def mark_objects_dirty(cpool: ChunkMeshPool, obj_mask):
     """Flag every chunk of the masked objects for remesh (content changed,
     existing submesh slots are kept and rewritten in place)."""

@@ -167,6 +167,45 @@ def _apply_absorption_gated(
     return pool._replace(sdf=sdf, mesh_dirty=dirty, split_pending=pending)
 
 
+def _absorber_sdf_at(absorbers, body_position, body_orientation, pos_world):
+    """Min SDF over all active absorbers at world points ``pos_world``
+    [...,3] → [...] (+inf where no absorber is active)."""
+    from ..geometry.primitives import capsule_sdf
+
+    lead = pos_world.ndim - 1
+    exp = (None,) * lead  # broadcast absorber axis behind the point axes
+
+    c_w = body_position[absorbers.sph_body] + quat.rotate(
+        body_orientation[absorbers.sph_body], absorbers.sph_offset
+    )  # [A,3]
+    d = (
+        jnp.linalg.norm(
+            pos_world[..., None, :] - c_w[exp + (slice(None), slice(None))],
+            axis=-1,
+        )
+        - absorbers.sph_radius[exp + (slice(None),)]
+    )
+    d = jnp.where(absorbers.sph_mask[exp + (slice(None),)], d, jnp.inf)
+    d_abs = jnp.min(d, axis=-1)
+
+    a_w = body_position[absorbers.cap_body] + quat.rotate(
+        body_orientation[absorbers.cap_body], absorbers.cap_start
+    )
+    b_w = body_position[absorbers.cap_body] + quat.rotate(
+        body_orientation[absorbers.cap_body], absorbers.cap_end
+    )
+    d_cap = capsule_sdf(
+        a_w[exp + (slice(None), slice(None))],
+        b_w[exp + (slice(None), slice(None))],
+        absorbers.cap_radius[exp + (slice(None),)],
+        pos_world[..., None, :],
+    )
+    d_cap = jnp.where(
+        absorbers.cap_mask[exp + (slice(None),)], d_cap, jnp.inf
+    )
+    return jnp.minimum(d_abs, jnp.min(d_cap, axis=-1))
+
+
 def _apply_absorption_dense(
     pool: VoxelObjectPool,
     absorbers: AbsorberPools,
@@ -184,40 +223,9 @@ def _apply_absorption_dense(
     pos_world = (
         quat.rotate(q_b[:, None, None, None, :], pos_local) + x_b[:, None, None, None, :]
     )
-
-    # absorber sphere world centers
-    c_w = body_position[absorbers.sph_body] + quat.rotate(
-        body_orientation[absorbers.sph_body], absorbers.sph_offset
-    )  # [A,3]
-
-    # min over absorbers of (distance − radius)
-    d = (
-        jnp.linalg.norm(
-            pos_world[:, :, :, :, None, :] - c_w[None, None, None, None, :, :],
-            axis=-1,
-        )
-        - absorbers.sph_radius[None, None, None, None, :]
-    )
-    d = jnp.where(absorbers.sph_mask[None, None, None, None, :], d, jnp.inf)
-    d_abs = jnp.min(d, axis=-1)  # [O,G,G,G]
-
-    # absorbing capsules (world-space segments)
-    from ..geometry.primitives import capsule_sdf
-
-    a_w = body_position[absorbers.cap_body] + quat.rotate(
-        body_orientation[absorbers.cap_body], absorbers.cap_start
-    )
-    b_w = body_position[absorbers.cap_body] + quat.rotate(
-        body_orientation[absorbers.cap_body], absorbers.cap_end
-    )
-    d_cap = capsule_sdf(
-        a_w[None, None, None, None, :, :],
-        b_w[None, None, None, None, :, :],
-        absorbers.cap_radius[None, None, None, None, :],
-        pos_world[:, :, :, :, None, :],
-    )
-    d_cap = jnp.where(absorbers.cap_mask[None, None, None, None, :], d_cap, jnp.inf)
-    d_abs = jnp.minimum(d_abs, jnp.min(d_cap, axis=-1))
+    d_abs = _absorber_sdf_at(
+        absorbers, body_position, body_orientation, pos_world
+    )  # [O,G,G,G]
 
     if is_encoded(pool.sdf):
         world_sdf = sdf_world(pool.sdf, pool.voxel_extent)
@@ -236,6 +244,174 @@ def _apply_absorption_dense(
     )
 
 
+def _chunk_absorber_hit(pool, absorbers, body_position, body_orientation):
+    """bool[O, C]: the chunk's padded 18³ mesh window (core 16³ + 1 voxel)
+    may intersect an active absorber, tested by window bounding sphere.
+
+    The PADDED window is the conservative unit: any voxel an absorber can
+    change lies in the padded windows of every chunk whose remesh reads it,
+    so carving + dirty-marking driven by this mask can never miss a chunk
+    whose submesh depends on a changed voxel (ref: absorption.rs:434 — the
+    reference visits chunks inside the absorber AABB the same way)."""
+    from .object import CHUNK_SIZE
+
+    g = pool.grid_size
+    nc = g // CHUNK_SIZE
+    r = jnp.arange(nc, dtype=jnp.float32) * CHUNK_SIZE + CHUNK_SIZE / 2.0
+    ci, cj, ck = jnp.meshgrid(r, r, r, indexing="ij")
+    centers_grid = jnp.stack([ci, cj, ck], axis=-1).reshape(-1, 3)  # [C,3]
+    ext = pool.voxel_extent  # [O]
+    centers_local = (
+        centers_grid[None] * ext[:, None, None] + pool.origin[:, None, :]
+    )  # [O,C,3]
+    q_b = body_orientation[pool.body_index][:, None, :]
+    x_b = body_position[pool.body_index][:, None, :]
+    centers_world = quat.rotate(q_b, centers_local) + x_b
+    # half-diagonal of the 18³ window (9 voxels per half-axis)
+    win_r = 9.0 * jnp.sqrt(3.0) * ext[:, None]  # [O,1]
+    d = _absorber_sdf_at(
+        absorbers, body_position, body_orientation, centers_world
+    )  # [O,C]
+    return (d < win_r) & pool.alive[:, None]
+
+
+def apply_absorption_chunk_gated(
+    pool: VoxelObjectPool,
+    absorbers: AbsorberPools,
+    body_position,
+    body_orientation,
+    pair_budget: int,
+    rotation=0,
+):
+    """Chunk-gated absorption: carve only the ≤``pair_budget`` (object,
+    chunk) 16³ windows whose padded AABBs overlap an active absorber —
+    cost O(B·16³·A) independent of the grid volume, the TPU analog of the
+    reference's per-chunk absorber visit (absorption.rs:434 visits only
+    chunks inside each absorber's AABB; object.rs:75-101 chunked grids).
+
+    ``rotation`` (i32, typically step_count · pair_budget) round-robins the
+    selection among overlapped chunks so a slow-moving absorber with more
+    overlap than budget cannot starve high-index chunks: the priority
+    window advances by ``rotation`` per call, covering every hit within
+    ⌈hits/budget⌉ calls.
+
+    Unlike :func:`apply_absorption`, does NOT set ``mesh_dirty`` (the
+    caller decides between chunk-granular and whole-object invalidation);
+    ``split_pending`` is set on changed objects as usual.
+
+    Returns ``(pool, changed bool[O], dirty_chunks bool[O,C], deferred
+    i32)``: ``dirty_chunks`` marks every absorber-overlapped chunk of every
+    changed object (conservative: a changed voxel dirties all chunks whose
+    18³ mesh window can read it, all of which are overlap-hits by
+    construction); ``deferred`` counts overlapped chunks beyond the budget,
+    left to later steps (absorbers move continuously — one step of lag,
+    not loss, same contract as the object-gated path)."""
+    from .encoding import encode_sdf_i8, is_encoded, sdf_scale
+    from .object import CHUNK_SIZE
+
+    g = pool.grid_size
+    nc = g // CHUNK_SIZE
+    c = nc * nc * nc
+    o_max = pool.n_objects
+
+    hit = _chunk_absorber_hit(
+        pool, absorbers, body_position, body_orientation
+    )  # [O,C]
+    flat = hit.reshape(-1)
+    budget = min(pair_budget, o_max * c)
+    n_flat = o_max * c
+    rank = (
+        jnp.arange(n_flat, dtype=jnp.int32) + jnp.int32(rotation)
+    ) % n_flat
+    _, picks = jax.lax.top_k(jnp.where(flat, rank + 1, 0), budget)
+    sel = flat[picks]  # [B]
+    o_idx = (picks // c).astype(jnp.int32)
+    ch_idx = (picks % c).astype(jnp.int32)
+    cz = ch_idx % nc
+    cy = (ch_idx // nc) % nc
+    cx = ch_idx // (nc * nc)
+
+    def one(o, x, y, z):
+        return jax.lax.dynamic_slice(
+            pool.sdf,
+            (o, x * CHUNK_SIZE, y * CHUNK_SIZE, z * CHUNK_SIZE),
+            (1, CHUNK_SIZE, CHUNK_SIZE, CHUNK_SIZE),
+        )[0]
+
+    win = jax.vmap(one)(o_idx, cx, cy, cz)  # [B,16,16,16]
+
+    # world positions of the window voxels
+    ar = jnp.arange(CHUNK_SIZE, dtype=jnp.float32) + 0.5
+    wi, wj, wk = jnp.meshgrid(ar, ar, ar, indexing="ij")
+    base = (
+        jnp.stack([cx, cy, cz], axis=-1).astype(jnp.float32) * CHUNK_SIZE
+    )  # [B,3]
+    grid_pos = (
+        jnp.stack([wi, wj, wk], axis=-1)[None] + base[:, None, None, None, :]
+    )  # [B,16,16,16,3]
+    ext = pool.voxel_extent[o_idx]  # [B]
+    origin = pool.origin[o_idx]  # [B,3]
+    pos_local = (
+        grid_pos * ext[:, None, None, None, None]
+        + origin[:, None, None, None, :]
+    )
+    bidx = pool.body_index[o_idx]
+    q_b = body_orientation[bidx][:, None, None, None, :]
+    x_b = body_position[bidx][:, None, None, None, :]
+    pos_world = quat.rotate(q_b, pos_local) + x_b
+    d_abs = _absorber_sdf_at(
+        absorbers, body_position, body_orientation, pos_world
+    )  # [B,16,16,16]
+
+    if is_encoded(pool.sdf):
+        scale = sdf_scale(ext)[:, None, None, None]
+        world = win.astype(jnp.float32) * scale
+        new_win = encode_sdf_i8(
+            jnp.maximum(world, -d_abs), ext[:, None, None, None]
+        )
+    else:
+        new_win = jnp.maximum(win, -d_abs)
+    changed_pair = sel & jnp.any(new_win != win, axis=(1, 2, 3))
+
+    # scatter the carved windows back (selected chunks are distinct →
+    # disjoint voxel ranges → no write collisions)
+    arn = jnp.arange(CHUNK_SIZE, dtype=jnp.int32)
+    gx = cx[:, None] * CHUNK_SIZE + arn[None]  # [B,16]
+    gy = cy[:, None] * CHUNK_SIZE + arn[None]
+    gz = cz[:, None] * CHUNK_SIZE + arn[None]
+    idx = (
+        (
+            (o_idx[:, None, None, None] * g + gx[:, :, None, None]) * g
+            + gy[:, None, :, None]
+        )
+        * g
+        + gz[:, None, None, :]
+    )  # [B,16,16,16]
+    idx = jnp.where(sel[:, None, None, None], idx, o_max * g * g * g)
+    sdf = (
+        pool.sdf.reshape(-1)
+        .at[idx.reshape(-1)]
+        .set(new_win.reshape(-1), mode="drop")
+        .reshape(pool.sdf.shape)
+    )
+
+    changed = (
+        jnp.zeros(o_max, bool)
+        .at[jnp.where(changed_pair, o_idx, o_max)]
+        .set(True, mode="drop")
+    )
+    dirty_chunks = hit & changed[:, None]
+    deferred = jnp.maximum(
+        jnp.sum(hit, dtype=jnp.int32) - jnp.sum(sel, dtype=jnp.int32), 0
+    )
+    return (
+        pool._replace(sdf=sdf, split_pending=pool.split_pending | changed),
+        changed,
+        dirty_chunks,
+        deferred,
+    )
+
+
 # --- split detection ----------------------------------------------------------
 
 
@@ -245,8 +421,17 @@ def connected_component_labels(occ, max_iters: int | None = None):
     Returns i32[G,G,G]: linear-index-based labels, −1 for empty voxels.
     Converges when every component's minimum linear index has flooded it
     (ref algorithm role: split_detection.rs two-level CCL).
+
+    For G ≥ 64 the TWO-LEVEL path runs instead (the reference's own
+    chunked design, split_detection.rs:15-35): full-grid propagation needs
+    worst-case O(G) sweeps of O(G³) work for components spanning the grid,
+    while the two-level pass confines sweeps to 16³ chunks and contracts
+    the chunk-boundary label graph with scatter-min + pointer jumping —
+    the label table converges in O(log) rounds of O(G³)-bandwidth work.
     """
     g = occ.shape[0]
+    if g >= 64 and g % 16 == 0:
+        return connected_component_labels_two_level(occ)
     if jax.default_backend() == "tpu":
         # multi-sweep VMEM kernel: one HBM round trip per 16 propagation
         # sweeps instead of per sweep (ops/ccl_pallas.py)
@@ -295,6 +480,102 @@ def connected_component_labels(occ, max_iters: int | None = None):
         cond, body, (labels0, jnp.asarray(True), jnp.asarray(0))
     )
     return jnp.where(occ, labels, -1)
+
+
+def connected_component_labels_two_level(occ):
+    """Two-level CCL: per-chunk min-label propagation, then chunk-boundary
+    label-graph contraction (ref: split_detection.rs:15-35 — per-chunk
+    disjoint-set forests merged across chunk faces).
+
+    Phase 1 confines the 6-neighbor sweeps to 16³ chunks (fixpoint in ≤16
+    typical sweeps regardless of G); phase 2 treats each chunk-component
+    label as a graph node, relaxes the cross-boundary edges with
+    scatter-min, and pointer-jumps the label table to its fixpoint. Labels
+    are identical to :func:`connected_component_labels`: the component's
+    minimum linear index, −1 for empty voxels."""
+    from .object import CHUNK_SIZE
+
+    g = occ.shape[0]
+    nc = g // CHUNK_SIZE
+    ch = CHUNK_SIZE
+    n = g * g * g
+    big = jnp.int32(n)
+    lin = jnp.arange(n, dtype=jnp.int32).reshape(g, g, g)
+    labels0 = jnp.where(occ, lin, big)
+    occ6 = occ.reshape(nc, ch, nc, ch, nc, ch)
+
+    def chunk_propagate(labels):
+        l6 = labels.reshape(nc, ch, nc, ch, nc, ch)
+        m = l6
+        for axis in (1, 3, 5):
+            fwd = jnp.concatenate(
+                [
+                    jnp.take(l6, jnp.arange(1, ch), axis=axis),
+                    jnp.take(l6, jnp.arange(ch - 1, ch), axis=axis) * 0
+                    + big,
+                ],
+                axis=axis,
+            )
+            bwd = jnp.concatenate(
+                [
+                    jnp.take(l6, jnp.arange(0, 1), axis=axis) * 0 + big,
+                    jnp.take(l6, jnp.arange(0, ch - 1), axis=axis),
+                ],
+                axis=axis,
+            )
+            m = jnp.minimum(m, jnp.minimum(fwd, bwd))
+        return jnp.where(occ6, m, big).reshape(g, g, g)
+
+    def cond1(state):
+        _, changed, it = state
+        # ch³ is the provable within-chunk fixpoint bound (serpentine);
+        # the early exit makes typical cost ~ch sweeps
+        return changed & (it < ch * ch * ch)
+
+    def body1(state):
+        labels, _, it = state
+        new = chunk_propagate(labels)
+        return new, jnp.any(new != labels), it + 1
+
+    labels, _, _ = jax.lax.while_loop(
+        cond1, body1, (labels0, jnp.asarray(True), jnp.asarray(0))
+    )
+
+    # phase 2: cross-boundary edges (la, lb) between chunk-component labels
+    edges_a, edges_b = [], []
+    for axis in range(3):
+        hi = jnp.take(labels, jnp.arange(ch - 1, g - 1, ch), axis=axis)
+        lo = jnp.take(labels, jnp.arange(ch, g, ch), axis=axis)
+        edges_a.append(hi.reshape(-1))
+        edges_b.append(lo.reshape(-1))
+    la = jnp.concatenate(edges_a)
+    lb = jnp.concatenate(edges_b)
+    both = (la < big) & (lb < big)
+    la = jnp.where(both, la, big)
+    lb = jnp.where(both, lb, big)
+
+    t0 = jnp.arange(n, dtype=jnp.int32)
+
+    def body2(state):
+        t, _, it = state
+        m = jnp.minimum(t[jnp.minimum(la, n - 1)], t[jnp.minimum(lb, n - 1)])
+        m = jnp.where(both, m, big)
+        t2 = t.at[la].min(m, mode="drop")
+        t2 = t2.at[lb].min(m, mode="drop")
+        t2 = jnp.minimum(t2, t2[t2])  # pointer jumping
+        return t2, jnp.any(t2 != t), it + 1
+
+    def cond2(state):
+        _, changed, it = state
+        # scatter-min + pointer jumping halves representative distances each
+        # round; n is a loose safety bound, the early exit fires in O(log)
+        return changed & (it < n)
+
+    table, _, _ = jax.lax.while_loop(
+        cond2, body2, (t0, jnp.asarray(True), jnp.asarray(0))
+    )
+    final = table[jnp.minimum(labels, n - 1)]
+    return jnp.where(occ, final, -1)
 
 
 def split_off_disconnected_region(pool: VoxelObjectPool, obj_index, free_slot):

@@ -36,6 +36,12 @@ class SurfaceNetsMesh(NamedTuple):
     vert_type: jnp.ndarray  # i32[C] dominant material at vertex
     vert_type2: jnp.ndarray  # i32[C] second material (== vert_type when pure)
     vert_blend: jnp.ndarray  # f32[C] weight of vert_type2 in [0, 0.5]
+    # full material census of the cell's 8 corner voxels (ref:
+    # surface_nets.rs:39-50 — ≤7 weighted vertex materials; here ALL ≤8
+    # adjacent materials with their depth weights, so the remesh-time bake
+    # is an EXACT weighted blend, a superset of the reference's ≤7)
+    vert_ctype: jnp.ndarray  # i32[C,8] corner voxel material
+    vert_cweight: jnp.ndarray  # f32[C,8] normalized depth weight (0 outside)
     tri_active: jnp.ndarray  # bool[T]
     tri_indices: jnp.ndarray  # i32[T,3] cell-slot indices
 
@@ -140,6 +146,11 @@ def surface_nets(sdf, vtype, merge_levels: int = 0):
         vert_type,
     )
     vert_blend = w2 / jnp.maximum(w1 + w2, 1e-9)
+    # full census for the exact bake: all 8 corner materials with their
+    # normalized depth weights (outside corners weigh 0)
+    vert_cweight = w_corner / jnp.maximum(
+        jnp.sum(w_corner, axis=-1, keepdims=True), 1e-9
+    )
 
     c = gc * gc * gc
     cell_linear = (
@@ -192,6 +203,8 @@ def surface_nets(sdf, vtype, merge_levels: int = 0):
             t_c = [at(vert_type, o) for o in offs]
             t2_c = [at(vert_type2, o) for o in offs]
             b_c = [at(vert_blend, o) for o in offs]
+            ct_c = [at(corner_types, o) for o in offs]
+            cw_c = [at(vert_cweight, o) for o in offs]
             eps = 1e-3
             uni = (
                 (jnp.linalg.norm(nrm_c[1] - nrm_c[0], axis=-1) < eps)
@@ -201,6 +214,12 @@ def surface_nets(sdf, vtype, merge_levels: int = 0):
             for k in (1, 2, 3):
                 uni = uni & (t_c[k] == t_c[0]) & (t2_c[k] == t2_c[0])
                 uni = uni & (jnp.abs(b_c[k] - b_c[0]) < eps)
+                # the exact bake blends the full census, so merged blocks
+                # must share it exactly for render-identical attributes
+                uni = uni & jnp.all(ct_c[k] == ct_c[0], axis=-1)
+                uni = uni & jnp.all(
+                    jnp.abs(cw_c[k] - cw_c[0]) < eps, axis=-1
+                )
             quad.update(
                 mergeable=crossing & uni,
                 p00=pos_c[0], p01=pos_c[1], p10=pos_c[2], p11=pos_c[3],
@@ -237,6 +256,8 @@ def surface_nets(sdf, vtype, merge_levels: int = 0):
         vert_type=vert_type.reshape(-1),
         vert_type2=vert_type2.reshape(-1),
         vert_blend=vert_blend.reshape(-1),
+        vert_ctype=corner_types.reshape(-1, 8),
+        vert_cweight=vert_cweight.reshape(-1, 8),
         tri_active=tri_active,
         tri_indices=tri_indices,
     )
@@ -343,6 +364,10 @@ class CompactMesh(NamedTuple):
     vert_type: jnp.ndarray  # i32[Vc]
     vert_type2: jnp.ndarray  # i32[Vc]
     vert_blend: jnp.ndarray  # f32[Vc]
+    # full ≤8-material census (see SurfaceNetsMesh) — consumed by
+    # ``bake_mesh_materials`` for the exact weighted blend
+    vert_ctype: jnp.ndarray  # i32[Vc,8]
+    vert_cweight: jnp.ndarray  # f32[Vc,8]
     tri_active: jnp.ndarray  # bool[Tc]
     tri_indices: jnp.ndarray  # i32[Tc,3] into the compacted vertex slots
     # corner-major render layout, built once per remesh so the per-frame
@@ -398,6 +423,8 @@ def compact_mesh(mesh: SurfaceNetsMesh, vert_cap: int, tri_cap: int) -> CompactM
     vtype = mesh.vert_type[vsel]
     vtype2 = mesh.vert_type2[vsel]
     vblend = mesh.vert_blend[vsel]
+    vctype = mesh.vert_ctype[vsel]
+    vcweight = mesh.vert_cweight[vsel]
 
     # corner-major gathers (amortized: compact_mesh runs per REMESH of a
     # budgeted object subset, not per frame)
@@ -417,6 +444,8 @@ def compact_mesh(mesh: SurfaceNetsMesh, vert_cap: int, tri_cap: int) -> CompactM
         vert_type=vtype,
         vert_type2=vtype2,
         vert_blend=vblend,
+        vert_ctype=vctype,
+        vert_cweight=vcweight,
         tri_active=tact,
         tri_indices=tidx,
         tri_pos=jnp.concatenate([vpos[c0], vpos[c1], vpos[c2]], axis=-1),
@@ -433,17 +462,38 @@ def compact_mesh(mesh: SurfaceNetsMesh, vert_cap: int, tri_cap: int) -> CompactM
     )
 
 
-def bake_mesh_materials(mesh: CompactMesh, material_table) -> CompactMesh:
+def bake_mesh_materials(mesh, material_table):
     """Fill the baked corner-material fields from the packed [T,10] table
-    (``material_corner_table``): per-corner top-2 type blend, done once per
-    remesh instead of per frame. Works on single [Tc,...] or batched
-    [O,Tc,...] meshes."""
+    (``material_corner_table``), once per remesh instead of per frame.
+
+    For :class:`CompactMesh` (has the vertex census) the bake is the EXACT
+    weighted blend over ALL ≤8 materials adjacent to each vertex — a
+    superset of the reference's ≤7 weighted vertex materials
+    (surface_nets.rs:39-50): per vertex, Σ_corner w·table[type], then
+    gathered corner-major through ``tri_indices``. For census-less pools
+    (:class:`~..chunk_mesh.ChunkMeshPool` re-bakes on a live scene) it
+    falls back to the stored top-2 blend. Works on single [Tc,...] or
+    batched [O,Tc,...] meshes."""
     n_types = material_table.shape[0]
-    m1 = material_table[jnp.clip(mesh.tri_type, 0, n_types - 1)]  # [...,3,10]
-    m2 = material_table[jnp.clip(mesh.tri_type2, 0, n_types - 1)]
-    b = mesh.tri_blend[..., None]
-    m = m1 * (1.0 - b) + m2 * b  # [...,3,10]
-    lead = m.shape[:-2]
+    if hasattr(mesh, "vert_ctype"):
+        props = material_table[
+            jnp.clip(mesh.vert_ctype, 0, n_types - 1)
+        ]  # [...,Vc,8,10]
+        w = mesh.vert_cweight[..., None]
+        vm = jnp.sum(props * w, axis=-2)  # [...,Vc,10] exact blend
+        vc = vm.shape[-2]
+        tc3 = mesh.tri_indices.shape[-2] * 3
+        lead = vm.shape[:-2]
+        idx = mesh.tri_indices.reshape(lead + (tc3, 1))
+        m = jnp.take_along_axis(
+            vm, jnp.clip(idx, 0, vc - 1), axis=-2
+        ).reshape(lead + (tc3 // 3, 3, 10))
+    else:
+        m1 = material_table[jnp.clip(mesh.tri_type, 0, n_types - 1)]
+        m2 = material_table[jnp.clip(mesh.tri_type2, 0, n_types - 1)]
+        b = mesh.tri_blend[..., None]
+        m = m1 * (1.0 - b) + m2 * b  # [...,3,10]
+    lead = m.shape[:-2]  # (..., Tc)
     return mesh._replace(
         tri_albedo=m[..., :, 0:3].reshape(lead + (9,)),
         tri_f0=m[..., :, 3:6].reshape(lead + (9,)),

@@ -140,6 +140,55 @@ class TestSurfaceNets:
         # pure vertices do not blend
         assert np.allclose(blend[~mixed], 0.0)
 
+    def test_exact_census_bake_at_three_material_junction(self):
+        """The remesh-time bake blends ALL materials adjacent to a vertex
+        with their census weights (VERDICT-r4 item 9; ref surface_nets.rs:
+        39-50 ≤7 weighted vertex materials — here exact over ≤8). At a
+        3-material junction the baked color is the exact weighted average,
+        which the top-2 reduction cannot represent."""
+        from impact_tpu.voxel.mesh import bake_mesh_materials, compact_mesh
+
+        s, _ = generate_sdf_grid(sdflib.sphere(6.0), G, 1.0)
+        # three material sectors meeting along the x-axis-ish junction
+        i = jnp.arange(G)
+        vt = jnp.zeros((G, G, G), jnp.int32)
+        vt = jnp.where(i[None, :, None] >= G // 2, 1, vt)
+        vt = jnp.where(
+            (i[None, None, :] >= G // 2) & (i[None, :, None] >= G // 2),
+            2, vt,
+        )
+        mesh = surface_nets(s, vt)
+        act = np.asarray(mesh.vert_active)
+        ct = np.asarray(mesh.vert_ctype)
+        cw = np.asarray(mesh.vert_cweight)
+        # census weights are a partition of unity on active vertices
+        np.testing.assert_allclose(cw[act].sum(axis=-1), 1.0, atol=1e-5)
+        # some vertex sees all three materials
+        n_distinct = np.array([
+            len(np.unique(ct[v][cw[v] > 1e-6])) for v in np.where(act)[0]
+        ])
+        assert (n_distinct >= 3).any()
+
+        # exact bake == census-weighted table average at every active corner
+        table = jnp.asarray(
+            np.linspace(0.1, 1.0, 3 * 10, dtype=np.float32).reshape(3, 10)
+        )
+        cm = bake_mesh_materials(compact_mesh(mesh, 2048, 4096), table)
+        tidx = np.asarray(cm.tri_indices)
+        tact = np.asarray(cm.tri_active)
+        got_albedo = np.asarray(cm.tri_albedo).reshape(-1, 3, 3)
+        vct = np.asarray(cm.vert_ctype)
+        vcw = np.asarray(cm.vert_cweight)
+        tbl = np.asarray(table)
+        t_sel = np.where(tact)[0][:40]
+        for t in t_sel:
+            for c in range(3):
+                v = tidx[t, c]
+                want = (vcw[v][:, None] * tbl[vct[v]][:, 0:3]).sum(axis=0)
+                np.testing.assert_allclose(
+                    got_albedo[t, c], want, atol=1e-5
+                )
+
     def test_vertices_near_surface(self):
         r = 6.0
         s, origin = generate_sdf_grid(sdflib.sphere(r), G, 1.0)
@@ -256,6 +305,111 @@ class TestDeformation:
         np.testing.assert_array_equal(np.asarray(pool.sdf[2:]),
                                       np.asarray(gated.sdf[2:]))
 
+    def test_chunk_gated_absorption_matches_dense(self):
+        """Chunk-gated absorption (VERDICT-r4 item 4: carve only
+        absorber-overlapped chunk windows, ref absorption.rs:434) carves
+        exactly the dense result when the pair budget suffices, and its
+        dirty-chunk mask covers the 18³ mesh window of every changed
+        voxel (conservative invalidation — an unmarked chunk's submesh can
+        never depend on a changed voxel)."""
+        from impact_tpu.voxel.interaction import (
+            apply_absorption_chunk_gated,
+        )
+        from impact_tpu.voxel.object import CHUNK_SIZE
+
+        n_obj = 4
+        pool = empty_voxel_object_pool(n_obj, G)
+        s, origin = generate_sdf_grid(sdflib.sphere(6.0), G, 1.0)
+        for i in range(n_obj):
+            pool = pool._replace(
+                sdf=pool.sdf.at[i].set(s),
+                origin=pool.origin.at[i].set(origin),
+                voxel_extent=pool.voxel_extent.at[i].set(1.0),
+                alive=pool.alive.at[i].set(True),
+                body_index=pool.body_index.at[i].set(i),
+            )
+        absorbers = empty_absorber_pools()
+        absorbers = absorbers._replace(
+            sph_body=absorbers.sph_body.at[0].set(n_obj),
+            sph_offset=absorbers.sph_offset.at[0].set(
+                jnp.array([7.0, 0.0, 0.0])),
+            sph_radius=absorbers.sph_radius.at[0].set(3.0),
+            sph_mask=absorbers.sph_mask.at[0].set(True),
+        )
+        pos = jnp.zeros((n_obj + 1, 3))
+        pos = pos.at[1].set(jnp.array([2.0, 0.0, 0.0]))
+        pos = pos.at[2].set(jnp.array([500.0, 0.0, 0.0]))  # far
+        ori = jnp.tile(jnp.array([0.0, 0.0, 0.0, 1.0]), (n_obj + 1, 1))
+
+        dense = apply_absorption(pool, absorbers, pos, ori)
+        nc = G // CHUNK_SIZE
+        carved, changed, dirty, deferred = apply_absorption_chunk_gated(
+            pool, absorbers, pos, ori, pair_budget=n_obj * nc**3
+        )
+        np.testing.assert_array_equal(
+            np.asarray(dense.sdf), np.asarray(carved.sdf)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(dense.mesh_dirty), np.asarray(changed)
+        )
+        assert int(deferred) == 0
+        # conservative dirt: every chunk whose 18³ window contains a changed
+        # voxel is marked
+        diff = np.asarray(dense.sdf != pool.sdf)  # [O,G,G,G]
+        dirty_np = np.asarray(dirty).reshape(n_obj, nc, nc, nc)
+        ch_x, ch_y, ch_z = np.where(
+            np.ones((nc, nc, nc), bool)
+        )
+        for o in range(n_obj):
+            pts = np.argwhere(diff[o])
+            for x, y, z in pts[:: max(1, len(pts) // 50)]:
+                for cx in range(nc):
+                    for cy in range(nc):
+                        for cz in range(nc):
+                            lo = np.array([cx, cy, cz]) * CHUNK_SIZE - 1
+                            hi = lo + CHUNK_SIZE + 2
+                            if np.all((x, y, z) >= lo) and np.all(
+                                (x, y, z) < hi
+                            ):
+                                assert dirty_np[o, cx, cy, cz], (
+                                    o, cx, cy, cz, x, y, z
+                                )
+
+    def test_chunk_gated_absorption_budget_defers(self):
+        """A pair budget below the overlap count carves a subset, counts the
+        deferral, and later calls finish the job (lag, not loss)."""
+        from impact_tpu.voxel.interaction import (
+            apply_absorption_chunk_gated,
+        )
+
+        pool = make_sphere_pool(radius=6.0)
+        absorbers = empty_absorber_pools()
+        absorbers = absorbers._replace(
+            sph_body=absorbers.sph_body.at[0].set(1),
+            sph_offset=absorbers.sph_offset.at[0].set(
+                jnp.array([7.0, 0.0, 0.0])),
+            sph_radius=absorbers.sph_radius.at[0].set(3.0),
+            sph_mask=absorbers.sph_mask.at[0].set(True),
+        )
+        pos = jnp.zeros((4, 3))
+        ori = jnp.tile(jnp.array([0.0, 0.0, 0.0, 1.0]), (4, 1))
+        dense = apply_absorption(pool, absorbers, pos, ori)
+        p, changed, _, deferred = apply_absorption_chunk_gated(
+            pool, absorbers, pos, ori, pair_budget=1
+        )
+        assert int(deferred) > 0
+        # keep carving with the tiny budget until the deferral drains (the
+        # rotation round-robins the selection like the engine's step count
+        # does — without it a static absorber would re-pick the same chunk)
+        for i in range(64):
+            p, _, _, deferred = apply_absorption_chunk_gated(
+                p, absorbers, pos, ori, pair_budget=1, rotation=i + 1
+            )
+        # one carve step of the dense pass == the drained chunked carves
+        np.testing.assert_array_equal(
+            np.asarray(dense.sdf), np.asarray(p.sdf)
+        )
+
     def test_deferred_absorption_count(self):
         """Gate-cap overflow is counted, not silent: with more overlapping
         objects than the cap, the deferred count is hits − cap; with a cap
@@ -307,6 +461,82 @@ class TestDeformation:
         labels = connected_component_labels(occ)
         uniq = np.unique(np.asarray(labels))
         assert len(uniq[uniq >= 0]) == 2
+
+    def test_ccl_two_level_matches_dense(self):
+        """The two-level CCL (per-chunk labels + chunk-boundary label-graph
+        contraction, ref split_detection.rs:15-35) produces EXACTLY the
+        dense labeler's labels — component min linear index — on random
+        64³ occupancies and on a cross-chunk serpentine worst case
+        (VERDICT-r4 item 4: chunk-gate CCL/split)."""
+        from impact_tpu.voxel.interaction import (
+            connected_component_labels_two_level,
+        )
+
+        g64 = 64
+        rng = np.random.default_rng(7)
+        # random blobs: threshold smoothed noise for chunky components
+        noise = rng.random((g64, g64, g64)) < 0.08
+        occ = jnp.asarray(noise)
+        lin = jnp.arange(g64**3, dtype=jnp.int32).reshape(g64, g64, g64)
+        big = jnp.int32(g64**3)
+
+        def dense_labels(o):
+            # reference implementation: full-grid min-label propagation to
+            # the provable fixpoint (the pre-two-level labeler semantics)
+            labels = jnp.where(o, lin, big)
+
+            def prop(lab):
+                m = lab
+                for axis in range(3):
+                    fwd = jnp.concatenate(
+                        [
+                            jnp.take(lab, jnp.arange(1, g64), axis=axis),
+                            jnp.take(lab, jnp.arange(g64 - 1, g64), axis=axis)
+                            * 0 + big,
+                        ], axis=axis)
+                    bwd = jnp.concatenate(
+                        [
+                            jnp.take(lab, jnp.arange(0, 1), axis=axis) * 0
+                            + big,
+                            jnp.take(lab, jnp.arange(0, g64 - 1), axis=axis),
+                        ], axis=axis)
+                    m = jnp.minimum(m, jnp.minimum(fwd, bwd))
+                return jnp.where(o, m, big)
+
+            def cond(s):
+                lab, ch = s
+                return ch
+
+            def body(s):
+                lab, _ = s
+                new = prop(lab)
+                return new, jnp.any(new != lab)
+
+            lab, _ = jax.lax.while_loop(cond, body, (labels, jnp.asarray(True)))
+            return jnp.where(o, lab, -1)
+
+        got = np.asarray(connected_component_labels_two_level(occ))
+        want = np.asarray(dense_labels(occ))
+        np.testing.assert_array_equal(got, want)
+
+        # serpentine: one component snaking through every chunk layer — the
+        # long-path worst case for propagation-based labeling
+        serp = np.zeros((g64, g64, g64), bool)
+        for i in range(g64):
+            if i % 2 == 0:
+                serp[i, :, 8] = True
+            else:
+                serp[i, g64 - 1, 8] = serp[i, 0, 8] = True
+        serp[1::2, :, 8] = False
+        serp[1::2, 0, 8] = serp[1::2, g64 - 1, 8] = False
+        # connect rows alternately at each end
+        for i in range(0, g64 - 1):
+            end = g64 - 1 if i % 2 == 0 else 0
+            serp[i : i + 2, end, 8] = True
+        occ_s = jnp.asarray(serp)
+        got_s = np.asarray(connected_component_labels_two_level(occ_s))
+        uniq = np.unique(got_s[got_s >= 0])
+        assert len(uniq) == 1, len(uniq)
 
     def test_split_off_disconnected(self):
         g = sdflib.union(
