@@ -106,6 +106,12 @@ def run(names, update_dir=None):
         score = float(rgb_hybrid_compare(img, ref))
         results[name] = round(score, 4)
         drops[name] = int(rt.dropped_raster_candidates())
+        # scored output must be complete: a dropped nearest-z candidate
+        # would silently change pixels (VERDICT-r4 item 7)
+        assert drops[name] == 0, (
+            f"{name}: {drops[name]} raster candidates dropped — "
+            "the parity score would be measuring an incomplete render"
+        )
         save_png(OUT_DIR / f"{name}.png", img)
         diff = np.abs(img.astype(np.int16) - ref.astype(np.int16))
         save_png(OUT_DIR / f"{name}.diff.png", diff.astype(np.uint8))

@@ -366,6 +366,14 @@ def bench_stage_table(rt) -> dict:
     stages["geometry"] = geometry_ms
     sh = rt._shadows(scene)
     stages["shadows"] = _time_stage(lambda: rt._shadows(scene))
+    # attribute the cumulative drop counter: geometry-pass drops can lose
+    # nearest-z geometry; shadow-pass drops evict a depth-min raster's
+    # FARTHEST candidates (cannot change the min up to z-quantization) —
+    # the split says which kind the headline counter is made of
+    drops_split = {
+        "frame_geometry_drops": int(np.asarray(_gd)),
+        "frame_shadow_drops": int(np.asarray(sh[2])),
+    }
     omni, uni, _sd = sh
     stages["shade"] = _time_stage(
         lambda: rt._shade(gb, omni, uni, rt._textures)
@@ -375,6 +383,7 @@ def bench_stage_table(rt) -> dict:
     stages["step"] = _time_stage(lambda: rt._step(sim, rt.params))
     stages = {k: round(v, 1) for k, v in stages.items()}
     out = {"stages_ms": stages}
+    out.update(drops_split)
 
     def _cost_of(jitted, *args):
         """(flops, bytes accessed) from XLA's own cost analysis."""

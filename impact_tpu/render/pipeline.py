@@ -208,6 +208,27 @@ def cull_scene_to_frustum(scene: RenderScene, view_proj) -> RenderScene:
     return scene._replace(tri_active=scene.tri_active & vis)
 
 
+def _f32_matmuls(fn):
+    """Trace the stage with f32 matmul precision.
+
+    TPU dots default to bf16 passes; the render stages' matmuls are
+    small-K projection/interpolation contractions (world->clip,
+    world->light-space, barycentric interpolation) whose bf16 rounding is
+    VISIBLE — reference-golden parity on hardware drops from 0.976 to
+    0.910 (devtools/probe_tpu_parity.py). These contractions are
+    bandwidth-bound, so f32 costs nothing; the physics step keeps the
+    default (its MXU solver matmuls feed impulses, not pixels)."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with jax.default_matmul_precision("highest"):
+            return fn(*args, **kwargs)
+
+    return wrapped
+
+
+@_f32_matmuls
 def geometry_pass(
     scene: RenderScene,
     cam: Camera,
@@ -318,6 +339,7 @@ def geometry_pass(
     return gb, n_drop
 
 
+@_f32_matmuls
 def shadow_pass(scene: RenderScene, lights: LightPools, cam: Camera, config: RenderConfig):
     """Render all shadow maps (ref: omni/uni shadow-map update passes).
 
@@ -428,6 +450,7 @@ def shadow_pass(scene: RenderScene, lights: LightPools, cam: Camera, config: Ren
     return omni_shadows, uni_shadows, n_drop
 
 
+@_f32_matmuls
 def deferred_shade(
     gb: GBuffer,
     lights: LightPools,
@@ -588,6 +611,7 @@ def deferred_shade(
     return jnp.where(gb.valid[..., None], lum, sky)
 
 
+@_f32_matmuls
 def postprocess(
     lum,
     motion,

@@ -416,8 +416,13 @@ class HeadlessRuntime:
     def dropped_raster_candidates(self) -> int:
         """Cumulative raster candidates lost to per-tile k_per_range or
         big-block overflow across every rendered view so far (the raster-side
-        "no silent caps" counter; nonzero means nearest-z-losing geometry was
-        silently dropped — enlarge k_per_range/big_budget)."""
+        "no silent caps" counter). Overflow evicts a range's FARTHEST
+        candidates by quantized z, so the count is an UPPER BOUND on risk:
+        a drop only affects a pixel if the evicted candidate's true depth
+        beats the kept winner within the z-quantization step. Shadow-pass
+        drops in particular cannot change the depth-min map beyond that
+        epsilon; geometry-pass drops are the ones worth driving to zero
+        (enlarge k_per_range/big_budget). bench.py reports the split."""
         import numpy as np
 
         return int(np.asarray(self.sim.render.n_raster_drops))
