@@ -128,11 +128,14 @@ def render_omni_shadow_cubemap(
         for i in range(6):
             view = _look_view_matrix(light_pos, face_dirs[i], face_ups[i])
             vp = proj @ view
-            d, nd = rasterize_depth_pos(
-                tri_pos9, tri_active, vp, resolution, resolution,
-                cull_backfaces=False, tile=32, k_per_range=256,
-                return_drops=True,
-            )
+            # kernel plane-eval matmuls exempt from the stage's f32
+            # precision (coverage/depth-min decisions, not shading values)
+            with jax.default_matmul_precision("default"):
+                d, nd = rasterize_depth_pos(
+                    tri_pos9, tri_active, vp, resolution, resolution,
+                    cull_backfaces=False, tile=32, k_per_range=256,
+                    return_drops=True,
+                )
             ds.append(d)
             vs.append(vp)
             n_drop = n_drop + nd
@@ -180,11 +183,12 @@ def render_uni_shadow_map(
     if backend == "pallas":
         from .raster_pallas import rasterize_depth_pos
 
-        depth, n_drop = rasterize_depth_pos(
-            tri_pos9, tri_active, vp, resolution, resolution,
-            cull_backfaces=False, tile=32, k_per_range=256,
-            return_drops=True,
-        )
+        with jax.default_matmul_precision("default"):
+            depth, n_drop = rasterize_depth_pos(
+                tri_pos9, tri_active, vp, resolution, resolution,
+                cull_backfaces=False, tile=32, k_per_range=256,
+                return_drops=True,
+            )
         return depth, vp, n_drop
     from .pipeline import project_corners
 

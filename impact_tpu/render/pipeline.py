@@ -217,7 +217,13 @@ def _f32_matmuls(fn):
     VISIBLE — reference-golden parity on hardware drops from 0.976 to
     0.910 (devtools/probe_tpu_parity.py). These contractions are
     bandwidth-bound, so f32 costs nothing; the physics step keeps the
-    default (its MXU solver matmuls feed impulses, not pixels)."""
+    default (its MXU solver matmuls feed impulses, not pixels).
+
+    Scope: geometry/shadow/shade only. The Pallas raster kernels inside
+    them are re-exempted inline (their MXU plane evals decide coverage,
+    not shading — HIGHEST doubled the geometry pass), and postprocess is
+    NOT wrapped (its bloom/TAA convolutions tripled under HIGHEST while
+    contributing nothing measurable to golden parity)."""
     import functools
 
     @functools.wraps(fn)
@@ -278,11 +284,15 @@ def geometry_pass(
 
         # 32-px tiles: with the MXU plane eval the kernel is bound by its
         # ~3.4 µs/grid-step floor (DMA starts + Mosaic loop), so 4x fewer
-        # steps wins; k scales with tile area
-        out, near, valid, n_drop = raster_pallas.rasterize_attributes_pos(
-            scene.tri_pos, scene.tri_active, packed, vp, h, w,
-            tile=32, k_per_range=256, return_drops=True,
-        )
+        # steps wins; k scales with tile area.
+        # The kernel's plane-eval matmuls are EXEMPT from the stage's f32
+        # precision (they decide coverage, not shading values, and HIGHEST
+        # there doubled the pass: 68.6 → 126.4 ms at 1080p)
+        with jax.default_matmul_precision("default"):
+            out, near, valid, n_drop = raster_pallas.rasterize_attributes_pos(
+                scene.tri_pos, scene.tri_active, packed, vp, h, w,
+                tile=32, k_per_range=256, return_drops=True,
+            )
     else:
         # XLA fallback (CPU oracle): identity corner indices; keeps the
         # nearest-K per tile without counting drops
@@ -611,7 +621,6 @@ def deferred_shade(
     return jnp.where(gb.valid[..., None], lum, sky)
 
 
-@_f32_matmuls
 def postprocess(
     lum,
     motion,
